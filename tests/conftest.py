@@ -1,0 +1,39 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Tests never require TPU hardware; multi-chip sharding paths are exercised
+on `--xla_force_host_platform_device_count=8` fake devices, mirroring the
+driver's dryrun environment.  Must run before jax is imported anywhere.
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_COMPILATION_CACHE", "true")
+
+import jax  # noqa: E402
+
+# The axon sitecustomize registers a TPU backend and pins jax_platforms at
+# interpreter startup; tests always run on the virtual CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.extend.backend.clear_backends()
+except Exception:
+    pass
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    d = jax.devices()
+    assert len(d) >= 8, f"expected 8 virtual CPU devices, got {d}"
+    return d
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
