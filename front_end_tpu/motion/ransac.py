@@ -1,0 +1,105 @@
+"""Vmapped-hypothesis RANSAC — the TPU replacement for sequential RANSAC.
+
+The reference iterates hypotheses one at a time inside Python/OpenCV
+(`algorithm.py:144-206` spec: random 3-point partitions, rigid-SVD model,
+per-landmark RMS-threshold consensus, refit on the inlier union;
+`~motion.py:555` `pclRANSAC`).  Data-dependent iteration counts do not map
+to XLA, so here ALL hypotheses are evaluated as one batched program:
+
+    sample (B, k) minimal sets -> vmap model fit -> (B, N) residuals
+    -> inlier counts -> argmax -> refit on the winner's inliers.
+
+With B ≈ 256-1024 this covers the reference's adaptive iteration budget at
+0.99 confidence for outlier rates far beyond its 25 % sweep ceiling, and
+each stage is a dense MXU/VPU-friendly batch op.
+
+Minimal-set sampling uses Gumbel top-k over the validity mask: distinct
+indices, no rejection loops, one fused kernel.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from front_end_tpu.motion import kabsch
+
+
+class RansacResult(NamedTuple):
+    H: jnp.ndarray               # (4,4) best (refit) model
+    inliers: jnp.ndarray         # (N,) bool consensus of the refit model
+    n_inliers: jnp.ndarray       # () int32
+    best_hypothesis: jnp.ndarray  # (4,4) pre-refit winning model
+    scores: jnp.ndarray          # (B,) inlier counts of every hypothesis
+
+
+def sample_minimal_sets(key, valid, n_hyps: int, k: int):
+    """(B, k) distinct row indices drawn from valid rows via Gumbel top-k."""
+    n = valid.shape[0]
+    g = jax.random.gumbel(key, (n_hyps, n))
+    g = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(g, k)
+    return idx
+
+
+def ransac(key, fit_fn: Callable, residual_fn: Callable, data, valid,
+           *, k: int, n_hyps: int = 512, threshold: float = 0.05,
+           refit_fn: Callable | None = None) -> RansacResult:
+    """Generic batched RANSAC.
+
+    fit_fn(sub_data) -> model pytree (from a (k, ...) minimal set)
+    residual_fn(model, data) -> (N,) residuals
+    refit_fn(data, weights) -> model (defaults to fit_fn on all inliers)
+    data: pytree with leading dim N; valid: (N,) bool.
+    """
+    n = valid.shape[0]
+    idx = sample_minimal_sets(key, valid, n_hyps, k)
+
+    def one(ids):
+        sub = jax.tree.map(lambda a: a[ids], data)
+        model = fit_fn(sub)
+        r = residual_fn(model, data)
+        inl = (r < threshold) & valid
+        return model, jnp.sum(inl)
+
+    models, scores = jax.vmap(one)(idx)
+    best = jnp.argmax(scores)
+    best_model = jax.tree.map(lambda a: a[best], models)
+
+    r = residual_fn(best_model, data)
+    inliers = (r < threshold) & valid
+    if refit_fn is not None:
+        model = refit_fn(data, inliers.astype(jnp.float32))
+        r2 = residual_fn(model, data)
+        inliers2 = (r2 < threshold) & valid
+        # keep the refit only if it did not collapse the consensus
+        better = jnp.sum(inliers2) >= jnp.sum(inliers)
+        model = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), model, best_model)
+        inliers = jnp.where(better, inliers2, inliers)
+    else:
+        model = best_model
+    return RansacResult(H=model, inliers=inliers,
+                        n_inliers=jnp.sum(inliers),
+                        best_hypothesis=best_model, scores=scores)
+
+
+def rigid_ransac(key, Xa, Xb, valid, *, n_hyps: int = 512,
+                 threshold: float = 0.05) -> RansacResult:
+    """3-point rigid 3D-3D RANSAC — the reference's `svdRANSAC` /
+    `simulatedRANSAC` capability (`algorithm.py:144-206`, `~motion.py:555`),
+    with Euclidean alignment residuals and weighted-Kabsch refit."""
+    data = (jnp.asarray(Xa), jnp.asarray(Xb))
+
+    def fit(sub):
+        return kabsch.rigid_transform_3d(sub[0], sub[1])
+
+    def resid(H, d):
+        return kabsch.alignment_residuals(H, d[0], d[1])
+
+    def refit(d, w):
+        return kabsch.rigid_transform_3d(d[0], d[1], w)
+
+    return ransac(key, fit, resid, data, valid, k=3, n_hyps=n_hyps,
+                  threshold=threshold, refit_fn=refit)
