@@ -1,0 +1,73 @@
+"""BRIEF binary descriptors, batched over keypoints.
+
+Rebuild of `cv::BriefDescriptorExtractor` as used by the reference's live
+pipelines (`/root/reference/src/live_stereo.cpp:238,359-360` BRIEF-16;
+`bin/detect_node:24-54` swaps BRIEF-16/64; `features.py:703-778`).
+"Bytes" follows the OpenCV parameter (16/32/64 bytes = 128/256/512 bits).
+
+TPU shape: the image is box-smoothed ONCE densely (9×9, as OpenCV's
+integral-image smoothing), then each bit is a comparison of two gathered
+samples — a (N, nbits, 2) gather and a single vectorized compare.  Bits
+are produced in the MXU-friendly {0,1} float layout (`types.Descriptors`);
+packing to uint32 is a utility for storage/tests.
+
+The test pattern is a fixed isotropic-Gaussian pair set (BRIEF paper G II
+sampling, sigma = patch/5) generated from a deterministic seed — OpenCV
+bit-for-bit parity is NOT a goal (its pattern is a baked table); what is
+preserved is descriptor length, Hamming metric and matching behavior.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from front_end_tpu.ops import image as image_ops
+from front_end_tpu.types import Descriptors
+
+PATCH = 48            # sampling window (OpenCV BRIEF: 48+9 borders)
+SMOOTH = 9            # box smoothing size
+
+
+@functools.lru_cache(maxsize=None)
+def brief_pattern(n_bits: int, patch: int = PATCH, seed: int = 7):
+    """(n_bits, 2, 2) int32 offsets [(dxA,dyA),(dxB,dyB)], clipped."""
+    rs = np.random.RandomState(seed)
+    sigma = patch / 5.0
+    pts = rs.normal(0.0, sigma, size=(n_bits, 2, 2))
+    pts = np.clip(np.round(pts), -(patch // 2 - 1), patch // 2 - 1)
+    return jnp.asarray(pts.astype(np.int32))
+
+
+def smooth(img):
+    return image_ops.box_blur(jnp.asarray(img, jnp.float32), SMOOTH)
+
+
+def describe(img_smooth, xy, n_bytes: int = 16, *, pattern_seed: int = 7
+             ) -> Descriptors:
+    """Descriptors for (N,2) keypoints on a pre-smoothed (H,W) image.
+
+    Pass the same `img_smooth` (from :func:`smooth`) for many keypoint
+    sets to amortize the dense blur.
+    """
+    n_bits = 8 * n_bytes
+    pat = brief_pattern(n_bits)                        # (n_bits, 2, 2)
+    H, W = img_smooth.shape[-2:]
+    c = jnp.round(jnp.asarray(xy)).astype(jnp.int32)   # (N, 2) x,y
+
+    pos = c[:, None, None, :] + pat[None]              # (N, n_bits, 2, 2)
+    px = jnp.clip(pos[..., 0], 0, W - 1)
+    py = jnp.clip(pos[..., 1], 0, H - 1)
+    flat = img_smooth.reshape(-1)
+    vals = flat[py * W + px]                           # (N, n_bits, 2)
+    bits = (vals[..., 0] < vals[..., 1]).astype(jnp.float32)
+    return Descriptors(bits=bits)
+
+
+def valid_mask(xy, width: int, height: int, border: int = PATCH // 2 + SMOOTH):
+    """Keypoints too close to the border can't be described (OpenCV drops
+    them; we mask them)."""
+    xy = jnp.asarray(xy)
+    return ((xy[:, 0] >= border) & (xy[:, 0] < width - border)
+            & (xy[:, 1] >= border) & (xy[:, 1] < height - border))

@@ -1,0 +1,137 @@
+"""Adaptive grid-bucketed FAST detection with per-cell threshold control.
+
+Rebuild of the reference's signature detector:
+- C++ hot loop (`/root/reference/src/live_stereo.cpp:277-318`): 2×3 grid,
+  per-cell integer FAST threshold, ±1 feedback toward a per-cell detection
+  set-point, 20 % hysteresis band, thresholds clipped to [4, 80];
+- Python twin (`src/front_end/features.py:590-641`): clip [6, 80] and
+  asymmetric row shares (bottom row 2× bucket share, top row 0.5×).
+
+TPU-native shape: one dense FAST score map per image (the margin score
+makes one map valid for every threshold), a per-cell threshold IMAGE
+broadcast from the (Gr, Gc) controller state, post-NMS per-cell counts by
+reshape+sum, and per-cell top-k to produce a fixed-capacity `Keypoints`
+set.  The controller update is pure: `detect` returns the new threshold
+state, which the caller carries (e.g. through `lax.scan` over a video).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from front_end_tpu.ops import fast as fast_mod
+from front_end_tpu.types import Keypoints
+
+
+@struct.dataclass
+class GridConfig:
+    grid_rows: int = struct.field(pytree_node=False, default=2)
+    grid_cols: int = struct.field(pytree_node=False, default=3)
+    set_point: int = struct.field(pytree_node=False, default=1000)
+    min_threshold: float = struct.field(pytree_node=False, default=4.0)
+    max_threshold: float = struct.field(pytree_node=False, default=80.0)
+    init_threshold: float = struct.field(pytree_node=False, default=15.0)
+    hysteresis: float = struct.field(pytree_node=False, default=0.2)
+    cell_capacity: int = struct.field(pytree_node=False, default=512)
+    fast_type: str = struct.field(pytree_node=False, default="9_16")
+    # row_shares scales each grid row's set-point (features.py:626-631
+    # uses (0.5, 2.0) top-to-bottom for a ground-heavy scene); None = equal.
+    row_shares: tuple | None = struct.field(pytree_node=False, default=None)
+
+    @property
+    def capacity(self) -> int:
+        return self.grid_rows * self.grid_cols * self.cell_capacity
+
+    def cell_set_points(self):
+        gs = self.set_point / (self.grid_rows * self.grid_cols)
+        sp = jnp.full((self.grid_rows, self.grid_cols), gs, jnp.float32)
+        if self.row_shares is not None:
+            sp = sp * jnp.asarray(self.row_shares, jnp.float32)[:, None]
+        return sp
+
+    def init_thresholds(self):
+        return jnp.full((self.grid_rows, self.grid_cols),
+                        self.init_threshold, jnp.float32)
+
+
+class GridDetections(NamedTuple):
+    keypoints: Keypoints          # capacity Gr*Gc*cell_capacity
+    thresholds: jnp.ndarray       # (Gr, Gc) updated controller state
+    cell_counts: jnp.ndarray      # (Gr, Gc) post-NMS corner counts
+
+
+def _cell_dims(H, W, cfg: GridConfig):
+    ch, cw = H // cfg.grid_rows, W // cfg.grid_cols
+    return ch, cw
+
+
+def threshold_image(thresholds, H: int, W: int, cfg: GridConfig):
+    """(Gr, Gc) -> (H, W) per-pixel threshold map.  Pixels beyond the last
+    full cell (when the image size is not divisible) reuse the edge cell,
+    mirroring the reference's implicit crop of partial cells."""
+    ch, cw = _cell_dims(H, W, cfg)
+    t = jnp.repeat(jnp.repeat(thresholds, ch, axis=0), cw, axis=1)
+    pad_h, pad_w = H - t.shape[0], W - t.shape[1]
+    return jnp.pad(t, ((0, pad_h), (0, pad_w)), mode="edge")
+
+
+def detect(img, thresholds, cfg: GridConfig) -> GridDetections:
+    """Adaptive grid FAST on one image: (H, W) + (Gr, Gc) state.
+
+    Returns fixed-capacity keypoints (per-cell top-k by FAST score),
+    the updated per-cell thresholds (reference PI rule: ±1 when the
+    post-NMS count misses the set-point by >20 %), and the raw counts.
+    """
+    H, W = img.shape[-2:]
+    ch, cw = _cell_dims(H, W, cfg)
+    Gr, Gc = cfg.grid_rows, cfg.grid_cols
+
+    tmap = threshold_image(thresholds, H, W, cfg)
+    smap = fast_mod.detect_dense(img, tmap, cfg.fast_type, nms=True)
+
+    # crop to whole cells, then (Gr, Gc, ch*cw) cell view
+    s = smap[:Gr * ch, :Gc * cw]
+    cells = s.reshape(Gr, ch, Gc, cw).transpose(0, 2, 1, 3).reshape(
+        Gr, Gc, ch * cw)
+
+    counts = jnp.sum(cells > 0, axis=-1)
+
+    # reference controller (live_stereo.cpp:294-318)
+    err = counts.astype(jnp.float32) - cfg.cell_set_points()
+    move = jnp.abs(err) > cfg.hysteresis * cfg.cell_set_points()
+    delta = jnp.where(err > 0, 1.0, -1.0) * move
+    new_t = jnp.clip(thresholds + delta, cfg.min_threshold, cfg.max_threshold)
+
+    # per-cell top-k
+    k = cfg.cell_capacity
+    top, flat_idx = jax.lax.top_k(cells, k)                 # (Gr, Gc, k)
+    cy = flat_idx // cw
+    cx = flat_idx % cw
+    row0 = jnp.arange(Gr, dtype=jnp.int32)[:, None, None] * ch
+    col0 = jnp.arange(Gc, dtype=jnp.int32)[None, :, None] * cw
+    ys = (cy + row0).reshape(-1)
+    xs = (cx + col0).reshape(-1)
+    score = top.reshape(-1)
+    valid = score > 0
+
+    kps = Keypoints(
+        xy=jnp.stack([xs, ys], -1).astype(jnp.float32),
+        score=score.astype(jnp.float32),
+        angle=jnp.zeros_like(score, jnp.float32),
+        valid=valid)
+    return GridDetections(keypoints=kps, thresholds=new_t, cell_counts=counts)
+
+
+def detect_pair(left, right, tl, tr, cfg: GridConfig):
+    """Stereo pair convenience: batch L/R through one program (the
+    reference ran them on separate threads — here they share one fused
+    kernel launch)."""
+    imgs = jnp.stack([left, right])
+    ts = jnp.stack([tl, tr])
+    det = jax.vmap(lambda i, t: detect(i, t, cfg))(imgs, ts)
+    left_det = jax.tree.map(lambda a: a[0], det)
+    right_det = jax.tree.map(lambda a: a[1], det)
+    return left_det, right_det

@@ -1,0 +1,121 @@
+"""Dense image primitives: blur, gradients, integral image, patch gather.
+
+These are the building blocks under every detector/descriptor; all are
+batched dense ops that XLA maps onto the VPU (stencils) or MXU (separable
+convolutions expressed as matmuls for large kernels).
+
+Convention: images are (..., H, W) float32 in [0, 255] (grayscale); `xy`
+keypoint coordinates are (x=col, y=row) like OpenCV.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def to_gray(rgb):
+    """(..., H, W, 3) uint8/float -> (..., H, W) float32, ITU-R BT.601."""
+    rgb = jnp.asarray(rgb).astype(jnp.float32)
+    return (0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+
+
+def _sep_conv(img, kx, ky):
+    """Separable 2D correlation with edge padding, (..., H, W).
+
+    Expressed as shift-and-accumulate so XLA fuses it into a handful of
+    VPU adds; kernels here are small (3-13 taps)."""
+    img = jnp.asarray(img, jnp.float32)
+    rx, ry = len(kx) // 2, len(ky) // 2
+    out = sum(float(kx[i]) * shift2d(img, 0, i - rx) for i in range(len(kx)))
+    out = sum(float(ky[j]) * shift2d(out, j - ry, 0) for j in range(len(ky)))
+    return out
+
+
+def gaussian_kernel(sigma: float, radius: int | None = None) -> np.ndarray:
+    if radius is None:
+        radius = max(1, int(3.0 * sigma + 0.5))
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img, sigma: float, radius: int | None = None):
+    k = gaussian_kernel(sigma, radius)
+    return _sep_conv(img, k, k)
+
+
+def box_blur(img, size: int):
+    """size×size mean filter (the BRIEF pre-smoothing; OpenCV uses 9×9)."""
+    k = np.full(size, 1.0 / size, np.float32)
+    return _sep_conv(img, k, k)
+
+
+def sobel(img):
+    """Returns (gx, gy), OpenCV Sobel 3x3 kernels."""
+    gx = _sep_conv(img, np.array([-1.0, 0.0, 1.0], np.float32),
+                   np.array([1.0, 2.0, 1.0], np.float32))
+    gy = _sep_conv(img, np.array([1.0, 2.0, 1.0], np.float32),
+                   np.array([-1.0, 0.0, 1.0], np.float32))
+    return gx, gy
+
+
+def integral_image(img):
+    """Summed-area table with a leading zero row/col: (..., H+1, W+1).
+
+    sum over [y0,y1)x[x0,x1) = ii[y1,x1]-ii[y0,x1]-ii[y1,x0]+ii[y0,x0].
+    The associative cumsum maps to O(log n) XLA scans.
+    """
+    ii = jnp.cumsum(jnp.cumsum(jnp.asarray(img, jnp.float32), -1), -2)
+    return jnp.pad(ii, [(0, 0)] * (ii.ndim - 2) + [(1, 0), (1, 0)])
+
+
+def shift2d(img, dy: int, dx: int):
+    """Static shift with edge padding: out[y, x] = img[y+dy, x+dx]."""
+    H, W = img.shape[-2:]
+    py0, py1 = max(dy, 0), max(-dy, 0)
+    px0, px1 = max(dx, 0), max(-dx, 0)
+    p = jnp.pad(img, [(0, 0)] * (img.ndim - 2) + [(py1, py0), (px1, px0)],
+                mode="edge")
+    return p[..., py0:py0 + H, px0:px0 + W]
+
+
+def extract_patches(img, xy, patch: int):
+    """Gather (P, P) patches centred at integer-rounded keypoints.
+
+    img: (H, W); xy: (N, 2) float (x, y).  Returns (N, P, P) float32.
+    Patches are clamped inside the image (coordinates near the border
+    slide inward — callers mask border keypoints anyway).
+    """
+    H, W = img.shape[-2:]
+    r = patch // 2
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32) - r, 0, W - patch)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32) - r, 0, H - patch)
+
+    def one(y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0), (patch, patch))
+
+    return jax.vmap(one)(cy, cx)
+
+
+def bilinear_sample(img, xy):
+    """Bilinear interpolation of (H, W) image at (N, 2) float (x, y)."""
+    H, W = img.shape[-2:]
+    x = jnp.clip(xy[:, 0], 0.0, W - 1.001)
+    y = jnp.clip(xy[:, 1], 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx, fy = x - x0, y - y0
+    flat = img.reshape(-1)
+
+    def at(yy, xx):
+        return flat[yy * W + xx]
+
+    v00 = at(y0, x0)
+    v01 = at(y0, x0 + 1)
+    v10 = at(y0 + 1, x0)
+    v11 = at(y0 + 1, x0 + 1)
+    return ((1 - fy) * ((1 - fx) * v00 + fx * v01)
+            + fy * ((1 - fx) * v10 + fx * v11))

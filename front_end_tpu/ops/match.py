@@ -1,0 +1,155 @@
+"""Descriptor matching engine — distance matrices on the MXU.
+
+Rebuild of the reference's three matching recipes:
+- live stereo (`/root/reference/src/live_stereo.cpp:358-377`):
+  BFMatcher(HAMMING, crossCheck) + epipolar gate |Δy| <= 0.7 px;
+- StereoCamera (`src/StereoCamera.cpp:182-264`): epipolar mask matrix
+  |2Δy| <= 2.0, knnMatch k=2, Lowe ratio 0.8, per-query uniqueness dedup;
+- WindowMatcher inter-frame (`src/WindowMatcher.cpp:104-224`): 100×100 px
+  ROI gating mask between consecutive frames + KNN(2) + Lowe + dedup.
+
+TPU-native core: Hamming distance between {0,1} descriptor matrices is
+  ham(A, B) = |a| + |b| − 2·A·Bᵀ
+— one bf16 matmul on the MXU plus rank-1 corrections, replacing OpenCV's
+O(N²) scalar XOR/popcount loops.  Every gate (epipolar, ROI, validity) is
+an additive mask on the distance matrix — exactly the mask-matrix pattern
+the reference builds with cv::Mat masks, but fused into the same kernel.
+All selection steps (argmin, top-2, ratio, mutuality, dedup) are dense
+row/column reductions with no data-dependent shapes.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from front_end_tpu.types import Descriptors, Keypoints, Matches
+
+BIG = 1e9
+
+
+def hamming_matrix(da: Descriptors, db: Descriptors):
+    """(Na, D), (Nb, D) {0,1} bits -> (Na, Nb) float32 Hamming distances."""
+    a = jnp.asarray(da.bits)
+    b = jnp.asarray(db.bits)
+    ab = jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sa = jnp.sum(a, -1, dtype=jnp.float32)
+    sb = jnp.sum(b, -1, dtype=jnp.float32)
+    return sa[:, None] + sb[None, :] - 2.0 * ab
+
+
+def l2sq_matrix(a, b):
+    """(Na, D), (Nb, D) float -> (Na, Nb) squared L2 distances."""
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    ab = jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sa = jnp.sum(a * a, -1)
+    sb = jnp.sum(b * b, -1)
+    return jnp.maximum(sa[:, None] + sb[None, :] - 2.0 * ab, 0.0)
+
+
+def validity_mask(valid_a, valid_b):
+    """Additive BIG where either row or column is padding."""
+    ok = valid_a[:, None] & valid_b[None, :]
+    return jnp.where(ok, 0.0, BIG)
+
+
+def epipolar_mask(kpa: Keypoints, kpb: Keypoints, threshold: float = 0.7):
+    """|ya − yb| <= threshold gate (live_stereo 0.7 px; StereoCamera's
+    |2Δy| <= 2.0 is threshold=1.0)."""
+    dy = jnp.abs(kpa.xy[:, None, 1] - kpb.xy[None, :, 1])
+    return jnp.where(dy <= threshold, 0.0, BIG)
+
+
+def disparity_mask(kpa: Keypoints, kpb: Keypoints, max_disparity: float,
+                   min_disparity: float = 0.0):
+    """Left-right geometric gate: 0 <= xl − xr <= max_disparity."""
+    d = kpa.xy[:, None, 0] - kpb.xy[None, :, 0]
+    ok = (d >= min_disparity) & (d <= max_disparity)
+    return jnp.where(ok, 0.0, BIG)
+
+
+def roi_mask(kpa: Keypoints, kpb: Keypoints, box: float = 100.0):
+    """WindowMatcher's search-region gate (`WindowMatcher.cpp:104-128`):
+    candidate pairs must fall within a box×box pixel region."""
+    d = jnp.abs(kpa.xy[:, None, :] - kpb.xy[None, :, :])
+    ok = (d[..., 0] <= box) & (d[..., 1] <= box)
+    return jnp.where(ok, 0.0, BIG)
+
+
+def mutual_match(dist) -> Matches:
+    """BFMatcher crossCheck: (q, t) kept iff argmin-row and argmin-col
+    agree."""
+    ti = jnp.argmin(dist, axis=1)                      # (Nq,)
+    qi = jnp.argmin(dist, axis=0)                      # (Nt,)
+    d = jnp.take_along_axis(dist, ti[:, None], axis=1)[:, 0]
+    mutual = qi[ti] == jnp.arange(dist.shape[0])
+    valid = mutual & (d < BIG / 2)
+    return Matches(train_idx=ti.astype(jnp.int32), distance=d, valid=valid)
+
+
+def knn_lowe(dist, ratio: float = 0.8) -> Matches:
+    """knnMatch(k=2) + Lowe ratio test (`StereoCamera.cpp:208-230`)."""
+    neg, idx = jax.lax.top_k(-dist, 2)                 # (Nq, 2)
+    d1, d2 = -neg[:, 0], -neg[:, 1]
+    ok = (d1 < ratio * d2) & (d1 < BIG / 2)
+    return Matches(train_idx=idx[:, 0].astype(jnp.int32),
+                   distance=d1, valid=ok)
+
+
+def unique_per_train(m: Matches, n_train: int) -> Matches:
+    """Per-train dedup (`StereoCamera.cpp:231-264`): among queries matched
+    to the same train index, keep only the lowest distance."""
+    d = jnp.where(m.valid, m.distance, BIG)
+    best = jnp.full((n_train,), BIG).at[m.train_idx].min(d)
+    keep = m.valid & (d <= best[m.train_idx])
+    # break exact-distance ties by query index: first query wins
+    nq = d.shape[0]
+    qidx = jnp.arange(nq)
+    first = (jnp.full((n_train,), nq)
+             .at[m.train_idx].min(jnp.where(keep, qidx, nq)))
+    keep = keep & (qidx == first[m.train_idx])
+    return m.replace(valid=keep)
+
+
+def stereo_match_live(kl: Keypoints, dl: Descriptors,
+                      kr: Keypoints, dr: Descriptors,
+                      *, epi_threshold: float = 0.7,
+                      max_disparity: float | None = None) -> Matches:
+    """The live_stereo recipe: crossCheck Hamming match, then the
+    |Δy| <= 0.7 epipolar inlier filter (`live_stereo.cpp:358-377`).
+    The epipolar gate is fused into the distance matrix (a candidate the
+    gate would reject can never win), which strictly dominates the
+    reference's post-filter."""
+    dist = hamming_matrix(dl, dr) + validity_mask(kl.valid, kr.valid)
+    dist = dist + epipolar_mask(kl, kr, epi_threshold)
+    if max_disparity is not None:
+        dist = dist + disparity_mask(kl, kr, max_disparity)
+    return mutual_match(dist)
+
+
+def stereo_match_knn(kl: Keypoints, dl: Descriptors,
+                     kr: Keypoints, dr: Descriptors,
+                     *, epi_threshold: float = 1.0, ratio: float = 0.8
+                     ) -> Matches:
+    """The StereoCamera recipe (`StereoCamera.cpp:182-264`): epipolar mask,
+    KNN(2) + Lowe 0.8, per-train uniqueness."""
+    dist = hamming_matrix(dl, dr) + validity_mask(kl.valid, kr.valid)
+    dist = dist + epipolar_mask(kl, kr, epi_threshold)
+    m = knn_lowe(dist, ratio)
+    return unique_per_train(m, kr.capacity)
+
+
+def interframe_match(kc: Keypoints, dc: Descriptors,
+                     kp: Keypoints, dp: Descriptors,
+                     *, box: float = 100.0, ratio: float = 0.8) -> Matches:
+    """WindowMatcher inter-frame recipe (`WindowMatcher.cpp:104-224`):
+    ROI box gate + KNN(2) + Lowe + per-train uniqueness."""
+    dist = hamming_matrix(dc, dp) + validity_mask(kc.valid, kp.valid)
+    dist = dist + roi_mask(kc, kp, box)
+    m = knn_lowe(dist, ratio)
+    return unique_per_train(m, kp.capacity)
