@@ -31,13 +31,20 @@ SMOOTH = 9            # box smoothing size
 
 
 @functools.lru_cache(maxsize=None)
-def brief_pattern(n_bits: int, patch: int = PATCH, seed: int = 7):
-    """(n_bits, 2, 2) int32 offsets [(dxA,dyA),(dxB,dyB)], clipped."""
+def _brief_pattern_np(n_bits: int, patch: int, seed: int):
     rs = np.random.RandomState(seed)
     sigma = patch / 5.0
     pts = rs.normal(0.0, sigma, size=(n_bits, 2, 2))
-    pts = np.clip(np.round(pts), -(patch // 2 - 1), patch // 2 - 1)
-    return jnp.asarray(pts.astype(np.int32))
+    return np.clip(np.round(pts), -(patch // 2 - 1),
+                   patch // 2 - 1).astype(np.int32)
+
+
+def brief_pattern(n_bits: int, patch: int = PATCH, seed: int = 7):
+    """(n_bits, 2, 2) int32 offsets [(dxA,dyA),(dxB,dyB)], clipped.
+
+    Only the numpy table is cached — converting to a jnp array at the call
+    site keeps jit traces from leaking tracers into the cache."""
+    return jnp.asarray(_brief_pattern_np(n_bits, patch, seed))
 
 
 def smooth(img):
