@@ -72,6 +72,48 @@ def describe(img_smooth, xy, n_bytes: int = 16, *, pattern_seed: int = 7
     return Descriptors(bits=bits)
 
 
+def describe_dense(img_smooth, xy, n_bytes: int = 16, *,
+                   pattern_seed: int = 7) -> Descriptors:
+    """Dense-bitplane BRIEF — the TPU fast path.
+
+    Per-keypoint random gathers are the slowest primitive on TPU (the
+    gather-based :func:`describe` costs ~10 ns/sample); instead each of
+    the n_bits comparisons is evaluated DENSELY for every pixel as a
+    shifted-image compare (pure VPU, fused by XLA), packed on the fly
+    into uint32 bitplane words, and only n_bits/32 words are gathered per
+    keypoint — a ~64× reduction in gather traffic.
+
+    Bit-for-bit identical to :func:`describe` away from the image border
+    (dense shifts use edge padding; `valid_mask` excludes the border).
+    Returns both the packed words and the unpacked MXU matching layout.
+    """
+    from front_end_tpu.ops.image import shift2d
+    from front_end_tpu.types import unpack_bits
+
+    n_bits = 8 * n_bytes
+    pat = _brief_pattern_np(n_bits, PATCH, pattern_seed)   # numpy
+    img = jnp.asarray(img_smooth)
+    H, W = img.shape[-2:]
+
+    words = []
+    for w in range(n_bits // 32):
+        acc = None
+        for j in range(32):
+            (axo, ayo), (bxo, byo) = pat[w * 32 + j]
+            cmp = (shift2d(img, int(ayo), int(axo))
+                   < shift2d(img, int(byo), int(bxo)))
+            term = cmp.astype(jnp.uint32) << jnp.uint32(j)
+            acc = term if acc is None else acc | term
+        words.append(acc)
+    planes = jnp.stack(words, -1)                          # (H, W, n_words)
+
+    c = jnp.round(jnp.asarray(xy)).astype(jnp.int32)
+    px = jnp.clip(c[:, 0], 0, W - 1)
+    py = jnp.clip(c[:, 1], 0, H - 1)
+    packed = planes.reshape(-1, n_bits // 32)[py * W + px]  # (N, n_words)
+    return Descriptors(bits=unpack_bits(packed), packed=packed)
+
+
 def valid_mask(xy, width: int, height: int, border: int = PATCH // 2 + SMOOTH):
     """Keypoints too close to the border can't be described (OpenCV drops
     them; we mask them)."""

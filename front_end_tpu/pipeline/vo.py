@@ -135,8 +135,8 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         dl = orb_mod.describe(sml, kl.xy, angl, cfg.desc_bytes)
         dr = orb_mod.describe(smr, kr.xy, angr, cfg.desc_bytes)
     else:
-        dl = brief_mod.describe(sml, kl.xy, cfg.desc_bytes)
-        dr = brief_mod.describe(smr, kr.xy, cfg.desc_bytes)
+        dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
+        dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
 
     m = match_mod.stereo_match_live(
         kl, dl, kr, dr, epi_threshold=cfg.epi_threshold,
