@@ -40,6 +40,12 @@ class GridConfig:
     # row_shares scales each grid row's set-point (features.py:626-631
     # uses (0.5, 2.0) top-to-bottom for a ground-heavy scene); None = equal.
     row_shares: tuple | None = struct.field(pytree_node=False, default=None)
+    # two-stage top-k: per-chunk pre-selection width.  NMS guarantees at
+    # most 1 survivor per 2x2 pixels, so chunk_topk = chunk_size/4 is
+    # lossless; the default trades a vanishing miss chance (>64 corners
+    # inside one 1024-px strip) for a ~10x faster selection.
+    chunk_size: int = struct.field(pytree_node=False, default=1024)
+    chunk_topk: int = struct.field(pytree_node=False, default=64)
 
     @property
     def capacity(self) -> int:
@@ -66,6 +72,29 @@ class GridDetections(NamedTuple):
 def _cell_dims(H, W, cfg: GridConfig):
     ch, cw = H // cfg.grid_rows, W // cfg.grid_cols
     return ch, cw
+
+
+def _topk_2stage(cells, k: int, chunk: int, k0: int):
+    """Hierarchical top-k over the last axis: per-chunk top-k0, then
+    global top-k over the chunk winners.  `lax.top_k` over the raw ~77k
+    cell pixels costs milliseconds on TPU; two small selections cost
+    ~100 µs.  Exact whenever no chunk holds more than k0 survivors.
+    Returns (values, flat indices) shaped (..., k)."""
+    *lead, M = cells.shape
+    k0 = min(k0, chunk, k)
+    C = -(-M // chunk)
+    pad = C * chunk - M
+    if pad:
+        cells = jnp.pad(cells, [(0, 0)] * len(lead) + [(0, pad)],
+                        constant_values=-1.0)
+    ch = cells.reshape(*lead, C, chunk)
+    v0, i0 = jax.lax.top_k(ch, k0)                       # (..., C, k0)
+    base = (jnp.arange(C, dtype=jnp.int32) * chunk)[:, None]
+    flat0 = (i0.astype(jnp.int32) + base).reshape(*lead, C * k0)
+    v0 = v0.reshape(*lead, C * k0)
+    v, sel = jax.lax.top_k(v0, k)                        # (..., k)
+    idx = jnp.take_along_axis(flat0, sel, axis=-1)
+    return v, jnp.minimum(idx, M - 1)
 
 
 def threshold_image(thresholds, H: int, W: int, cfg: GridConfig):
@@ -107,7 +136,7 @@ def detect(img, thresholds, cfg: GridConfig) -> GridDetections:
 
     # per-cell top-k
     k = cfg.cell_capacity
-    top, flat_idx = jax.lax.top_k(cells, k)                 # (Gr, Gc, k)
+    top, flat_idx = _topk_2stage(cells, k, cfg.chunk_size, cfg.chunk_topk)
     cy = flat_idx // cw
     cx = flat_idx % cw
     row0 = jnp.arange(Gr, dtype=jnp.int32)[:, None, None] * ch

@@ -47,10 +47,30 @@ def gaussian_blur(img, sigma: float, radius: int | None = None):
     return _sep_conv(img, k, k)
 
 
+def _box1d(x, size: int, axis: int):
+    """Sliding-window sum along `axis` with edge padding, via cumsum.
+
+    Two O(n) passes regardless of window size — the separable shift-add
+    form costs `size` passes and defeats XLA fusion through its pads."""
+    r = size // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (r, size - 1 - r)
+    p = jnp.pad(x, pad, mode="edge")
+    c = jnp.cumsum(p, axis=axis)
+    zpad = [(0, 0)] * x.ndim
+    zpad[axis] = (1, 0)
+    c = jnp.pad(c, zpad)
+    n = x.shape[axis]
+    hi = jax.lax.slice_in_dim(c, size, size + n, axis=axis)
+    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+    return hi - lo
+
+
 def box_blur(img, size: int):
     """size×size mean filter (the BRIEF pre-smoothing; OpenCV uses 9×9)."""
-    k = np.full(size, 1.0 / size, np.float32)
-    return _sep_conv(img, k, k)
+    img = jnp.asarray(img, jnp.float32)
+    s = _box1d(_box1d(img, size, img.ndim - 1), size, img.ndim - 2)
+    return s * (1.0 / (size * size))
 
 
 def sobel(img):
