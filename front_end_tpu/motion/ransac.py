@@ -35,12 +35,20 @@ class RansacResult(NamedTuple):
 
 
 def sample_minimal_sets(key, valid, n_hyps: int, k: int):
-    """(B, k) distinct row indices drawn from valid rows via Gumbel top-k."""
+    """(B, k) row indices drawn uniformly from valid rows.
+
+    Inverse-CDF over the validity cumsum (one searchsorted per draw) —
+    orders of magnitude cheaper on TPU than Gumbel top-k over the full
+    (B, N) matrix.  Duplicates within a minimal set are possible but make
+    the hypothesis degenerate, which simply scores zero consensus; the
+    hypothesis budget accounts for that waste.
+    """
     n = valid.shape[0]
-    g = jax.random.gumbel(key, (n_hyps, n))
-    g = jnp.where(valid[None, :], g, -jnp.inf)
-    _, idx = jax.lax.top_k(g, k)
-    return idx
+    c = jnp.cumsum(valid.astype(jnp.int32))
+    total = jnp.maximum(c[-1], 1)
+    u = jax.random.randint(key, (n_hyps, k), 0, total)
+    idx = jnp.searchsorted(c, u, side="right")
+    return jnp.minimum(idx, n - 1).astype(jnp.int32)
 
 
 def ransac(key, fit_fn: Callable, residual_fn: Callable, data, valid,

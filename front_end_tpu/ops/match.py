@@ -93,12 +93,16 @@ def mutual_match(dist) -> Matches:
 
 
 def knn_lowe(dist, ratio: float = 0.8) -> Matches:
-    """knnMatch(k=2) + Lowe ratio test (`StereoCamera.cpp:208-230`)."""
-    neg, idx = jax.lax.top_k(-dist, 2)                 # (Nq, 2)
-    d1, d2 = -neg[:, 0], -neg[:, 1]
+    """knnMatch(k=2) + Lowe ratio test (`StereoCamera.cpp:208-230`).
+
+    Top-2 realized as two min/argmin reduction passes — `lax.top_k` over
+    a (N, N) matrix is milliseconds on TPU, paired reductions are µs."""
+    i1 = jnp.argmin(dist, axis=1)
+    d1 = jnp.take_along_axis(dist, i1[:, None], axis=1)[:, 0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    d2 = jnp.min(jnp.where(cols == i1[:, None], BIG, dist), axis=1)
     ok = (d1 < ratio * d2) & (d1 < BIG / 2)
-    return Matches(train_idx=idx[:, 0].astype(jnp.int32),
-                   distance=d1, valid=ok)
+    return Matches(train_idx=i1.astype(jnp.int32), distance=d1, valid=ok)
 
 
 def unique_per_train(m: Matches, n_train: int) -> Matches:

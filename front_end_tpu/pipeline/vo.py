@@ -135,8 +135,13 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         dl = orb_mod.describe(sml, kl.xy, angl, cfg.desc_bytes)
         dr = orb_mod.describe(smr, kr.xy, angr, cfg.desc_bytes)
     else:
-        dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
-        dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
+        if jax.default_backend() == "tpu":
+            from front_end_tpu.ops.pallas import brief_kernel
+            dl, dr = brief_kernel.describe_pair_pallas(
+                sml, smr, kl.xy, kr.xy, cfg.desc_bytes)
+        else:
+            dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
+            dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
 
     m = match_mod.stereo_match_live(
         kl, dl, kr, dr, epi_threshold=cfg.epi_threshold,
