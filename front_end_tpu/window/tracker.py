@@ -1,0 +1,219 @@
+"""Sliding-window landmark tracker — the map state of the front end.
+
+Replaces the reference's graph machinery with static-shape arrays:
+- `bumblebee.baseTypes.slidingGraph` (networkx pose/landmark graph used by
+  `liveGraph`, `/root/reference/src/front_end/algorithm.py:1113-1251`):
+  `newPoseVertex`, `newLandmarkVertex`, `getLandmarksVisibleAT`,
+  `getDescriptors`, stereo-edge creation;
+- `WindowMatcher`'s 3-frame window with eviction
+  (`src/WindowMatcher.cpp:92-96,326-330`).
+
+Design: a FIXED-CAPACITY landmark store (capacity M) where every row is a
+landmark slot carrying its world position, its current binary descriptor,
+its last-seen frame index and a per-window-slot measurement history
+(W, 4) + visibility.  Track association is one MXU Hamming match of the
+current frame's descriptors against the store (ROI-gated); unmatched
+stereo features claim recycled slots (oldest-first) — the static-shape
+equivalent of `newLandmarkVertex`.  The window is a shift register over
+the W measurement slots, exactly the reference's evict-oldest semantics.
+
+Everything is a pytree carried through `lax.scan`; the windowed BA
+(`front_end_tpu.ba`) consumes the store's (M, W, 4) measurement block
+directly — no graph extraction step.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from front_end_tpu.geometry import se3
+from front_end_tpu.geometry.camera import StereoRig
+from front_end_tpu.ops import match as match_mod
+from front_end_tpu.types import Descriptors, Keypoints
+
+
+@struct.dataclass
+class TrackerConfig:
+    capacity: int = struct.field(pytree_node=False, default=4096)  # M slots
+    window: int = struct.field(pytree_node=False, default=3)       # W frames
+    desc_bits: int = struct.field(pytree_node=False, default=256)
+    roi_box: float = struct.field(pytree_node=False, default=100.0)
+    lowe_ratio: float = struct.field(pytree_node=False, default=0.8)
+    max_age: int = struct.field(pytree_node=False, default=3)      # frames
+
+
+class LandmarkStore(NamedTuple):
+    Xw: jnp.ndarray          # (M, 3) world-frame position
+    bits: jnp.ndarray        # (M, D) current descriptor {0,1}
+    xy: jnp.ndarray          # (M, 2) last observed left-image position
+    last_seen: jnp.ndarray   # (M,) int32 frame index, -1 = free
+    valid: jnp.ndarray       # (M,) bool
+    meas: jnp.ndarray        # (M, W, 4) [ul,vl,ur,vr] measurement window
+    vis: jnp.ndarray         # (M, W) bool — observed in window slot w
+    track_len: jnp.ndarray   # (M,) int32 — consecutive observations
+
+
+class WindowState(NamedTuple):
+    store: LandmarkStore
+    poses: jnp.ndarray       # (W, 4, 4) camera_from_world for window slots
+    pose_valid: jnp.ndarray  # (W,) bool
+    frame_idx: jnp.ndarray   # () int32
+
+
+class TrackUpdate(NamedTuple):
+    state: WindowState
+    matches: jnp.ndarray     # (N,) int32 store slot per current feature (-1)
+    n_tracked: jnp.ndarray
+    n_new: jnp.ndarray
+
+
+def init_state(cfg: TrackerConfig) -> WindowState:
+    M, W, D = cfg.capacity, cfg.window, cfg.desc_bits
+    store = LandmarkStore(
+        Xw=jnp.zeros((M, 3), jnp.float32),
+        bits=jnp.zeros((M, D), jnp.float32),
+        xy=jnp.full((M, 2), -1e6, jnp.float32),
+        last_seen=jnp.full((M,), -1, jnp.int32),
+        valid=jnp.zeros((M,), bool),
+        meas=jnp.zeros((M, W, 4), jnp.float32),
+        vis=jnp.zeros((M, W), bool),
+        track_len=jnp.zeros((M,), jnp.int32))
+    return WindowState(store=store,
+                       poses=jnp.broadcast_to(jnp.eye(4), (W, 4, 4)),
+                       pose_valid=jnp.zeros((W,), bool),
+                       frame_idx=jnp.int32(0))
+
+
+def _advance_window(store: LandmarkStore, poses, pose_valid):
+    """Shift the measurement window left by one (evict slot 0 — the
+    reference's `window.erase(begin())`, WindowMatcher.cpp:92-96)."""
+    meas = jnp.roll(store.meas, -1, axis=1).at[:, -1].set(0.0)
+    vis = jnp.roll(store.vis, -1, axis=1).at[:, -1].set(False)
+    poses = jnp.roll(poses, -1, axis=0).at[-1].set(jnp.eye(4))
+    pose_valid = jnp.roll(pose_valid, -1, axis=0).at[-1].set(False)
+    return store._replace(meas=meas, vis=vis), poses, pose_valid
+
+
+def update(state: WindowState, kps: Keypoints, desc: Descriptors,
+           X_cam, stereo_valid, uv4, pose_cur, cfg: TrackerConfig,
+           rig: StereoRig) -> TrackUpdate:
+    """Ingest one frame's stereo features.
+
+    kps/desc/X_cam/stereo_valid/uv4: the frame's left features, stereo
+    triangulations (camera frame) and stereo measurements (capacity N).
+    pose_cur: (4,4) camera_from_world extrinsic of this frame.
+    """
+    store = state.store
+    M = cfg.capacity
+    N = kps.capacity
+    fidx = state.frame_idx
+
+    store, poses, pose_valid = _advance_window(
+        store, state.poses, state.pose_valid)
+    poses = poses.at[-1].set(pose_cur)
+    pose_valid = pose_valid.at[-1].set(True)
+
+    # ---- track association (liveGraph.updateMatches semantics) --------
+    recently = store.valid & (fidx - store.last_seen <= cfg.max_age)
+    lm_kps = Keypoints(xy=store.xy, score=jnp.zeros((M,)),
+                       angle=jnp.zeros((M,)), valid=recently)
+    cur_valid = kps.valid & stereo_valid
+    cur_kps = kps.replace(valid=cur_valid)
+    m = match_mod.interframe_match(
+        cur_kps, desc, lm_kps, Descriptors(bits=store.bits),
+        box=cfg.roi_box, ratio=cfg.lowe_ratio)
+    tracked = m.valid & cur_valid                      # (N,)
+    slot_of_feature = jnp.where(tracked, m.train_idx, -1)
+
+    # ---- write tracked observations ----------------------------------
+    Xw_cur = se3.transform_points(se3.invert_homog(pose_cur), X_cam)
+    tslot = jnp.where(tracked, m.train_idx, M)         # M = dump row
+
+    def scat(dst, val):
+        """Scatter val rows into dst at tslot; row M is a discard pad."""
+        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
+        ext = jnp.concatenate([dst, pad], 0)
+        return ext.at[tslot].set(val)[:M]
+
+    gslot = jnp.minimum(tslot, M - 1)
+    store = store._replace(
+        bits=scat(store.bits, desc.bits),
+        xy=scat(store.xy, kps.xy),
+        last_seen=scat(store.last_seen, jnp.full((N,), 1, jnp.int32) * fidx),
+        meas=scat(store.meas, store.meas[gslot].at[:, -1].set(uv4)),
+        vis=scat(store.vis, store.vis[gslot].at[:, -1].set(True)),
+        track_len=scat(store.track_len, store.track_len[gslot] + 1))
+
+    # ---- allocate new landmarks (newLandmarkVertex) -------------------
+    is_new = cur_valid & ~tracked
+    # free slots: invalid or stale, oldest first
+    stale = ~store.valid | (fidx - store.last_seen > cfg.max_age)
+    priority = jnp.where(stale, store.last_seen, jnp.int32(2**30))
+    order = jnp.argsort(priority)                      # free slots first
+    # rank new features; feature with rank r claims order[r].  Never
+    # overwrite live landmarks: allocation stops at the free-slot count.
+    n_free = jnp.sum(stale)
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    can_alloc = is_new & (rank < n_free)
+    slot_new = order[jnp.clip(rank, 0, M - 1)]
+    nslot = jnp.where(can_alloc, slot_new, M)
+
+    def scat_new(dst, val):
+        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
+        ext = jnp.concatenate([dst, pad], 0)
+        return ext.at[nslot].set(val)[:M]
+
+    W = cfg.window
+    meas_new = jnp.zeros((N, W, 4), jnp.float32).at[:, -1].set(uv4)
+    vis_new = jnp.zeros((N, W), bool).at[:, -1].set(True)
+    store = store._replace(
+        Xw=scat_new(store.Xw, Xw_cur),
+        bits=scat_new(store.bits, desc.bits),
+        xy=scat_new(store.xy, kps.xy),
+        last_seen=scat_new(store.last_seen,
+                           jnp.full((N,), 1, jnp.int32) * fidx),
+        valid=scat_new(store.valid, jnp.ones((N,), bool)),
+        meas=scat_new(store.meas, meas_new),
+        vis=scat_new(store.vis, vis_new),
+        track_len=scat_new(store.track_len, jnp.ones((N,), jnp.int32)))
+
+    slot_of_feature = jnp.where(can_alloc, slot_new, slot_of_feature)
+
+    new_state = WindowState(store=store, poses=poses,
+                            pose_valid=pose_valid, frame_idx=fidx + 1)
+    return TrackUpdate(state=new_state,
+                       matches=slot_of_feature.astype(jnp.int32),
+                       n_tracked=jnp.sum(tracked),
+                       n_new=jnp.sum(can_alloc))
+
+
+def tracked_pairs(state_prev: WindowState, upd: TrackUpdate, X_cam_cur):
+    """(Xa_prev_world->prevcam?, ...) helper retained for VO: returns the
+    3D-3D correspondence arrays between the previous frame's landmark
+    positions and the current frame's camera-frame triangulations, for
+    the rigid RANSAC (svdRANSAC capability)."""
+    slot = jnp.maximum(upd.matches, 0)
+    Xw_prev = state_prev.store.Xw[slot]
+    valid = upd.matches >= 0
+    return Xw_prev, X_cam_cur, valid
+
+
+def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
+                  huber_px: float = 3.0, min_obs: int = 2):
+    """Windowed BA over the store: optimize the W window poses (+ the
+    landmarks observed >= min_obs times in-window).  Returns the updated
+    state.  This is the `sba_node` capability wired to live tracking."""
+    from front_end_tpu.ba import schur
+
+    store = state.store
+    obs_count = jnp.sum(store.vis, axis=1)
+    use = store.valid & (obs_count >= min_obs)
+    vis = store.vis & use[:, None] & state.pose_valid[None, :]
+    res = schur.ba_solve(state.poses, store.Xw, store.meas, vis, rig,
+                        iters=iters, huber_px=huber_px)
+    new_store = store._replace(
+        Xw=jnp.where(use[:, None], res.landmarks, store.Xw))
+    return state._replace(store=new_store, poses=res.poses), res
