@@ -1,0 +1,138 @@
+"""Monte-Carlo estimator characterization — the operating-curve study.
+
+Rebuild of the reference's batch simulation pipeline
+(`/root/reference/bin/extractMotion:26-188`, `bin/extractNister:37-104`,
+`bin/extractBA:32-52`): for every (motion speed × landmark-count curve ×
+noise level × outlier fraction) condition, run the motion estimators on
+synthetic worlds with known ground truth and record recovered-motion
+errors.
+
+Where the reference loops over pickled files one condition and one
+hypothesis at a time (500 motions/condition, resumable by file
+existence), here each condition is ONE vmapped device batch; results
+land in an .npz per condition with the same skip-if-exists resume
+semantics (`bin/extractMotion:59,79,103`).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from front_end_tpu.geometry import se3
+from front_end_tpu.geometry.camera import StereoRig, bumblebee_rig
+from front_end_tpu.motion import essential, lm, ransac
+from front_end_tpu.sim import synthetic as sim
+
+SPEEDS = ("slow", "medium", "fast")
+EXTRACTORS = ("PCL", "Nister", "BA")
+
+
+def _condition_batch(key, rig, cat, n_points, batch, noise_px,
+                     outlier_frac):
+    """One condition: `batch` independent worlds with noise + outliers."""
+    def one(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        w = sim.sample_world(k1, rig, cat, n_points)
+        if noise_px > 0:
+            w = sim.add_gaussian_noise(k2, w, rig, noise_px)
+        out_mask = jnp.zeros((n_points,), bool)
+        if outlier_frac > 0:
+            w, out_mask = sim.add_outliers(k3, w, rig, outlier_frac)
+        return w, out_mask
+
+    keys = jax.random.split(key, batch)
+    return jax.vmap(one)(keys)
+
+
+def _extract(method, key, w, rig, threshold):
+    if method == "PCL":
+        res = ransac.rigid_ransac(key, w.Xa, w.Xb, w.valid,
+                                  threshold=threshold)
+        return res.H, res.n_inliers
+    if method == "Nister":
+        res = essential.essential_scaled_motion(
+            key, w.uva, w.uvb, w.Xa, w.Xb, w.valid, rig, threshold_px=3.0)
+        return res.H, res.n_inliers
+    if method == "BA":
+        res = lm.refine_motion(jnp.eye(4), w.Xa, w.uvb, w.valid, rig,
+                               iters=25, huber_px=3.0)
+        return res.H, jnp.sum(w.valid)
+    raise ValueError(method)
+
+
+def run_condition(key, method: str, rig: StereoRig, speed: str,
+                  n_points: int, noise_px: float, outlier_frac: float,
+                  batch: int = 64, threshold: float = 0.08):
+    """Returns per-world absolute motion errors: dict of arrays (batch,)."""
+    cat = sim.motion_category(speed)
+    worlds, out_mask = _condition_batch(key, rig, cat, n_points, batch,
+                                        noise_px, outlier_frac)
+    keys = jax.random.split(jax.random.fold_in(key, 1), batch)
+
+    def one(k, w):
+        H, n_inl = _extract(method, k, w, rig, threshold)
+        ang = se3.rotation_geodesic_error(H[:3, :3], w.Ht[:3, :3])
+        terr = jnp.linalg.norm(H[:3, 3] - w.Ht[:3, 3])
+        return jnp.degrees(ang), terr, n_inl
+
+    ang, terr, n_inl = jax.vmap(one)(keys, worlds)
+    return {"rot_err_deg": np.asarray(ang),
+            "trans_err_m": np.asarray(terr),
+            "n_inliers": np.asarray(n_inl)}
+
+
+def run_study(out_dir: str, *, methods=EXTRACTORS, speeds=SPEEDS,
+              curves=sim.OPERATING_CURVES, noises=(0.0,) + sim.NOISE_LEVELS,
+              outliers=(0.0,) + sim.OUTLIER_LEVELS, batch: int = 64,
+              rig: StereoRig | None = None, seed: int = 0,
+              ideal_only: bool = False, verbose: bool = True):
+    """The full `extractMotion` grid.  Resumable: conditions whose .npz
+    exists are skipped (`bin/extractMotion:59`)."""
+    rig = rig or bumblebee_rig()
+    os.makedirs(out_dir, exist_ok=True)
+    done, ran = 0, 0
+    if ideal_only:
+        noises, outliers = (0.0,), (0.0,)
+    for method in methods:
+        for speed in speeds:
+            for n_points in curves:
+                for noise in noises:
+                    for frac in outliers:
+                        name = (f"{method}_{speed}_{n_points:05d}"
+                                f"_n{noise:g}_o{frac:g}.npz")
+                        path = os.path.join(out_dir, name)
+                        if os.path.exists(path):
+                            done += 1
+                            continue
+                        key = jax.random.fold_in(
+                            jax.random.PRNGKey(seed), hash(name) % (2**31))
+                        res = run_condition(key, method, rig, speed,
+                                            int(n_points), noise, frac,
+                                            batch=batch)
+                        np.savez(path, **res)
+                        ran += 1
+                        if verbose:
+                            print(f"{name}: rot_med="
+                                  f"{np.median(res['rot_err_deg']):.4f}deg "
+                                  f"trans_med="
+                                  f"{np.median(res['trans_err_m'])*1000:.2f}mm")
+    return {"ran": ran, "skipped": done}
+
+
+def load_study(out_dir: str):
+    """Aggregate all condition files into a nested dict for plotting —
+    the `analysis.py getOperatingCurves` capability."""
+    out = {}
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".npz"):
+            continue
+        stem = name[:-4]
+        method, speed, pts, n, o = stem.split("_")
+        with np.load(os.path.join(out_dir, name)) as z:
+            out.setdefault(method, {}).setdefault(speed, {})[
+                (int(pts), float(n[1:]), float(o[1:]))] = {
+                    k: z[k].copy() for k in z.files}
+    return out

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from front_end_tpu.ba import factors, schur
 from front_end_tpu.geometry.camera import StereoRig
+from front_end_tpu.utils.precision import f32_precision
 
 AXIS = "landmark"
 
@@ -76,6 +77,7 @@ def _sharded_body(poses0, X0, meas, vis_w, rig, huber_px, lam0, iters):
     return poses, X, cost, cost0, rms
 
 
+@f32_precision
 def ba_solve_sharded(mesh: Mesh, poses0, X0, meas, vis, rig: StereoRig, *,
                      iters: int = 12, huber_px: float = 3.0,
                      lam0: float = 1e-4) -> schur.BAResult:

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from front_end_tpu.geometry import se3
 from front_end_tpu.geometry.camera import StereoRig
 from front_end_tpu.ba import factors
+from front_end_tpu.utils.precision import f32_precision
 
 GAUGE_PRIOR = 1e12
 
@@ -114,6 +115,7 @@ def _cost_only(poses, X, meas, vis_w, rig, huber_px):
     return jnp.sum(factors.robust_cost(r2, huber_px) * vis_w)
 
 
+@f32_precision
 def ba_solve(poses0, X0, meas, vis, rig: StereoRig, *, iters: int = 12,
              huber_px: float = 3.0, lam0: float = 1e-4) -> BAResult:
     """Run LM on a window.  poses0: (W,4,4) camera_from_world initial;

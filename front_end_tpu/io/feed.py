@@ -1,0 +1,59 @@
+"""Asynchronous device feed — the host I/O layer.
+
+Replaces the reference's concurrency plumbing around image delivery: ROS
+topic queues with mutex/condvar buffers (`live_stereo.cpp:162-269`,
+`StereoCamera.cpp:43-140`) and the vidDebug 150-slot ring buffer with a
+dedicated writer thread (`vidDebug/buffer.cpp:20-120`).
+
+`DeviceFeed` prefetches decoded frames from any iterator onto the device
+on a background thread (bounded ring), so `vo_step` never stalls on
+host decode or the PCIe/tunnel link — the double-buffering pattern of
+SURVEY §2.5.  A native C++ ring-buffer file reader can be plugged in as
+the upstream iterator (see `native/`).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+
+import jax
+import jax.numpy as jnp
+
+
+class DeviceFeed:
+    """Iterate (left, right) numpy frames -> device arrays, prefetched.
+
+    depth: ring size (frames in flight).  The reference's ring held 150
+    raw frames for disk capture; for compute feeding 2-4 is enough to
+    hide host latency.
+    """
+
+    def __init__(self, frame_iter, depth: int = 3, device=None):
+        self._q = queue.Queue(maxsize=depth)
+        self._device = device or jax.devices()[0]
+        self._err = None
+        self._thread = threading.Thread(
+            target=self._worker, args=(iter(frame_iter),), daemon=True)
+        self._thread.start()
+
+    def _worker(self, it):
+        try:
+            for l, r in it:
+                ld = jax.device_put(jnp.asarray(l, jnp.float32), self._device)
+                rd = jax.device_put(jnp.asarray(r, jnp.float32), self._device)
+                self._q.put((ld, rd))
+        except Exception as e:          # surfaced on next __next__
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

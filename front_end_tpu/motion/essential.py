@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from front_end_tpu.geometry import se3
 from front_end_tpu.motion import ransac as ransac_mod
+from front_end_tpu.utils.precision import f32_precision
 
 
 def normalize_points(x):
@@ -179,6 +180,7 @@ class EssentialResult(NamedTuple):
     votes: jnp.ndarray        # (4,) cheirality votes
 
 
+@f32_precision
 def essential_scaled_motion(key, uva, uvb, Xa, Xb, valid, rig, *,
                             n_hyps: int = 256, threshold_px: float = 1.0
                             ) -> EssentialResult:

@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from front_end_tpu.geometry import se3
 
 
+from front_end_tpu.utils.precision import f32_precision
+
+
+@f32_precision
 def rigid_transform_3d(Xa, Xb, weights=None):
     """Weighted Kabsch.  Xa, Xb: (..., N, 3); weights: (..., N) or None.
 
@@ -25,6 +29,8 @@ def rigid_transform_3d(Xa, Xb, weights=None):
     Fully batched and jittable; zero-weight rows are ignored.
     """
     Xa, Xb = jnp.asarray(Xa), jnp.asarray(Xb)
+    # Geometry einsums must not fall back to bf16 MXU passes (the TPU
+    # default for f32): millimetre-level motion errors otherwise.
     if weights is None:
         weights = jnp.ones(Xa.shape[:-1], Xa.dtype)
     w = jnp.asarray(weights, Xa.dtype)

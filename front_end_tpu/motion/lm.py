@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from front_end_tpu.geometry import se3
 from front_end_tpu.geometry.camera import StereoRig
+from front_end_tpu.utils.precision import f32_precision
 
 
 class LMResult(NamedTuple):
@@ -42,6 +43,7 @@ def _huber_w(r2, delta):
     return jnp.where(r <= delta, 1.0, delta / r)
 
 
+@f32_precision
 def refine_motion(H0, Xa, uvb, valid, rig: StereoRig, *,
                   iters: int = 10, huber_px: float = 3.0,
                   lm_lambda0: float = 1e-3) -> LMResult:

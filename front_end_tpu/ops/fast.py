@@ -30,9 +30,12 @@ CIRCLE_16 = ((0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2),
              (-2, -2), (-1, -3))
 CIRCLE_12 = ((0, -2), (1, -2), (2, -1), (2, 0), (2, 1), (1, 2), (0, 2),
              (-1, 2), (-2, 1), (-2, 0), (-2, -1), (-1, -2))
+CIRCLE_8 = ((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
+            (-1, -1))
 
 # (circle, contiguous arc length) per OpenCV type
-TYPES = {"9_16": (CIRCLE_16, 9), "7_12": (CIRCLE_12, 7), "5_8": None}
+TYPES = {"9_16": (CIRCLE_16, 9), "7_12": (CIRCLE_12, 7),
+         "5_8": (CIRCLE_8, 5)}
 
 
 def fast_score_map(img, fast_type: str = "9_16"):

@@ -42,6 +42,7 @@ from front_end_tpu.ops import match as match_mod
 from front_end_tpu.ops import orb as orb_mod
 from front_end_tpu.ops import subpix as subpix_mod
 from front_end_tpu.types import Descriptors, Keypoints
+from front_end_tpu.utils.precision import f32_precision
 
 
 @struct.dataclass
@@ -192,6 +193,7 @@ def _estimate_motion(key, cur: FrameFeatures, prev: FrameFeatures,
                    motion_ok=ok)
 
 
+@f32_precision
 def vo_step(state: VOState, left, right, rig: StereoRig,
             cfg: VOConfig) -> tuple[VOState, VOFrameOutput]:
     """Process one rectified stereo pair.  Fully jittable."""

@@ -33,6 +33,7 @@ from front_end_tpu.geometry import se3
 from front_end_tpu.geometry.camera import StereoRig
 from front_end_tpu.ops import match as match_mod
 from front_end_tpu.types import Descriptors, Keypoints
+from front_end_tpu.utils.precision import f32_precision
 
 
 @struct.dataclass
@@ -97,6 +98,7 @@ def _advance_window(store: LandmarkStore, poses, pose_valid):
     return store._replace(meas=meas, vis=vis), poses, pose_valid
 
 
+@f32_precision
 def update(state: WindowState, kps: Keypoints, desc: Descriptors,
            X_cam, stereo_valid, uv4, pose_cur, cfg: TrackerConfig,
            rig: StereoRig) -> TrackUpdate:
