@@ -240,8 +240,10 @@ def describe(img, xy, sigma, angle, *, n_spatial: int = 4,
 
 
 def detect_and_describe(img, *, n_octaves: int = 3,
-                        max_keypoints: int = 1024):
-    det = detect(img, n_octaves=n_octaves, max_keypoints=max_keypoints)
+                        max_keypoints: int = 1024,
+                        contrast_threshold: float = CONTRAST_THR):
+    det = detect(img, n_octaves=n_octaves, max_keypoints=max_keypoints,
+                 contrast_threshold=contrast_threshold)
     kps = det.keypoints
     ang = orientations(img, kps.xy, det.sigma, kps.valid)
     desc = describe(img, kps.xy, det.sigma, ang)

@@ -75,11 +75,13 @@ class TestDescriptor:
 
         rs = np.random.RandomState(5)
         base = np.array(gaussian_blur(
-            jnp.asarray(rs.uniform(30, 220, (160, 220)).astype(np.float32)),
-            2.0))
+            jnp.asarray(rs.uniform(10, 245, (160, 220)).astype(np.float32)),
+            1.2))
         A, B = base[:, :192], base[:, 15:207]
-        da, qa = sift.detect_and_describe(jnp.asarray(A), max_keypoints=96)
-        db, qb = sift.detect_and_describe(jnp.asarray(B), max_keypoints=96)
+        da, qa = sift.detect_and_describe(jnp.asarray(A), max_keypoints=96,
+                                          contrast_threshold=0.01)
+        db, qb = sift.detect_and_describe(jnp.asarray(B), max_keypoints=96,
+                                          contrast_threshold=0.01)
         dist = match_mod.l2sq_matrix(qa.bits, qb.bits)
         dist = dist + match_mod.validity_mask(da.keypoints.valid,
                                               db.keypoints.valid)
