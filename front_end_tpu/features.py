@@ -118,9 +118,26 @@ def detector_table():
     return {f"Det{d:010X}": s for d, s in enumerate(allset)}
 
 
+FREAK_PARAMS = {"pattern_scale": [0.5, 1.0, 1.5, 2.0]}
+ORB_DESC_PARAMS = {"bytes": [32]}
+
+
+def freak_combinations():
+    return _combos("FREAK", FREAK_PARAMS, ["pattern_scale"], "NORM_HAMMING")
+
+
+def orb_descriptor_combinations():
+    return _combos("ORB", ORB_DESC_PARAMS, ["bytes"], "NORM_HAMMING")
+
+
 @functools.lru_cache(maxsize=1)
 def descriptor_table():
-    allset = (brief_combinations() + surf_descriptor_combinations())
+    """Reference table is SURF-descriptors-only (`features.py:424-431`);
+    the BRIEF/FREAK/ORB descriptor configs the reference constructs
+    directly in `bin/detect_node:24-54` are appended so every benchmarked
+    configuration has a stable ID here."""
+    allset = (brief_combinations() + surf_descriptor_combinations()
+              + freak_combinations() + orb_descriptor_combinations())
     return {f"Desc{d:010X}": s for d, s in enumerate(allset)}
 
 
@@ -167,6 +184,24 @@ def make_detector(settings) -> tuple[Callable | None, bool]:
                 n_octaves=int(p["n_octaves"]),
                 n_octave_layers=int(p["n_octave_layers"]))
         return detect, True
+    if name == "BRISK":
+        from front_end_tpu.ops import brisk as brisk_mod
+
+        def detect(img):
+            return brisk_mod.detect_dense(
+                img, threshold=float(p["threshold"]),
+                n_octaves=max(1, int(p["n_octaves"])))
+        return detect, True
+    if name == "AKAZE":
+        from front_end_tpu.ops import akaze as akaze_mod
+
+        def detect(img):
+            return akaze_mod.detect_dense(
+                img, threshold=float(p["threshold"]),
+                n_octaves=int(p["n_octaves"]),
+                n_sublevels=int(p["n_octave_layers"]),
+                diffusivity=str(p["diffusivity"]))
+        return detect, True
     return None, False
 
 
@@ -194,6 +229,32 @@ def make_descriptor(settings) -> tuple[Callable | None, bool]:
         def describe(img, xy):
             return surf_mod.describe(img, xy, extended=bool(p["extended"]),
                                      upright=bool(p["upright"]))
+        return describe, True
+    if name == "FREAK":
+        from front_end_tpu.ops import freak as freak_mod
+        from front_end_tpu.types import Keypoints
+        import jax.numpy as jnp
+
+        def describe(img, xy):
+            n = xy.shape[0]
+            kps = Keypoints(xy=jnp.asarray(xy),
+                            score=jnp.ones((n,), jnp.float32),
+                            angle=jnp.zeros((n,), jnp.float32),
+                            valid=jnp.ones((n,), bool))
+            _, desc = freak_mod.describe_keypoints(
+                img, kps, pattern_scale=float(p.get("pattern_scale", 1.0)))
+            return desc
+        return describe, True
+    if name == "ORB":
+        from front_end_tpu.ops import brief as brief_mod
+        from front_end_tpu.ops import orb as orb_mod
+
+        def describe(img, xy):
+            import jax.numpy as jnp
+            sm = brief_mod.smooth(jnp.asarray(img, jnp.float32))
+            ang = orb_mod.intensity_centroid_angle(sm, xy)
+            return orb_mod.describe(sm, xy, ang,
+                                    n_bytes=int(p.get("bytes", 32)))
         return describe, True
     return None, False
 

@@ -1,0 +1,200 @@
+"""BRISK — scale-pyramid AGAST detection + concentric-ring binary descriptor.
+
+Rebuild of the cv::BRISK capability swept by the reference's parameter
+tables (`/root/reference/src/front_end/features.py:163-193
+getBRISK_parameters`: thresh {10..80}, octaves {0..4}, patternScale
+{0.5..2.0}) and benchmarked by `bin/detect_node` configs.
+
+TPU shape:
+- detection: the dense FAST margin-score stencil (`ops/fast.py`) is run
+  per pyramid octave (AGAST and FAST share the segment-test family; the
+  margin score makes the threshold a post-hoc compare), 3×3 NMS per
+  layer, static top-K per octave merged exactly like the SIFT/SURF/AKAZE
+  modules;
+- descriptor: the BRISK sampling pattern (concentric rings, per-point
+  Gaussian smoothing ∝ ring radius) is realized as K static blur levels
+  (one per ring) + batched bilinear gathers at host-constant rotated
+  offsets.  Long-distance pairs give the orientation estimate
+  (gradient-weighted sum), short-distance pairs give 512 comparison bits
+  — the same structure as the reference OpenCV implementation.
+
+Documented deviations: ring geometry uses the published BRISK layout but
+pair selection is by the distance rule alone (OpenCV clips to exactly
+512 short pairs; we take the 512 shortest for a deterministic static
+set); per-point smoothing uses the ring's blur level rather than a
+per-point kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from front_end_tpu.ops import fast as fast_mod
+from front_end_tpu.ops.image import bilinear_sample, gaussian_blur
+from front_end_tpu.types import Descriptors, Keypoints
+
+# ring layout (radius in pattern units, number of points, smoothing sigma)
+RINGS = ((0.0, 1, 0.6), (2.9, 10, 0.75), (4.9, 14, 1.1),
+         (7.4, 15, 1.6), (10.8, 20, 2.4))
+N_POINTS = sum(n for _, n, _ in RINGS)           # 60
+SHORT_PAIR_LIMIT = 9.75                          # dmax * patternScale units
+LONG_PAIR_MIN = 13.67                            # dmin
+N_BITS = 512
+
+
+@functools.lru_cache()
+def _pattern():
+    """Host constants: point offsets (P,2)[dy,dx], ring id per point,
+    short pairs (512,2), long pairs (L,2)."""
+    pts, ring_id = [], []
+    for r, (radius, n, _sigma) in enumerate(RINGS):
+        for i in range(n):
+            a = 2 * np.pi * i / n + (0.5 * r)    # stagger rings
+            pts.append((radius * np.sin(a), radius * np.cos(a)))
+            ring_id.append(r)
+    pts = np.asarray(pts, np.float32)
+    ring_id = np.asarray(ring_id, np.int32)
+
+    pairs = [(i, j) for i in range(N_POINTS) for j in range(i + 1, N_POINTS)]
+    pairs = np.asarray(pairs, np.int32)
+    d = np.linalg.norm(pts[pairs[:, 0]] - pts[pairs[:, 1]], axis=1)
+    short = pairs[np.argsort(d)][:N_BITS]
+    long = pairs[d > LONG_PAIR_MIN]
+    return pts, ring_id, short, long
+
+
+class BriskDetections(NamedTuple):
+    keypoints: Keypoints
+    octave: jnp.ndarray      # (K,) int32
+
+
+def detect(img, *, threshold: float = 30.0, n_octaves: int = 3,
+           max_keypoints: int = 512) -> BriskDetections:
+    """Pyramid segment-test detection: dense FAST score per octave + NMS,
+    static top-K merge (cv::BRISK's AGAST-pyramid role)."""
+    img = jnp.asarray(img, jnp.float32)
+    per = max(16, max_keypoints // max(1, n_octaves))
+    xs_l, ys_l, sc_l, oc_l = [], [], [], []
+    level = img
+    for o in range(n_octaves):
+        s = fast_mod.detect_dense(level, threshold, fast_type="9_16",
+                                  nms=True)
+        h, w = s.shape
+        v, idx = jax.lax.top_k(s.reshape(-1), per)
+        scale = float(1 << o)
+        xs_l.append((idx % w).astype(jnp.float32) * scale)
+        ys_l.append((idx // w).astype(jnp.float32) * scale)
+        sc_l.append(v)
+        oc_l.append(jnp.full((per,), o, jnp.int32))
+        if o + 1 < n_octaves:
+            level = gaussian_blur(level, 1.0)[::2, ::2]
+    xs = jnp.concatenate(xs_l)
+    ys = jnp.concatenate(ys_l)
+    sc = jnp.concatenate(sc_l)
+    oc = jnp.concatenate(oc_l)
+    if xs.shape[0] < max_keypoints:
+        pad = max_keypoints - xs.shape[0]
+        xs, ys, sc = (jnp.pad(a, (0, pad)) for a in (xs, ys, sc))
+        oc = jnp.pad(oc, (0, pad))
+    v, sel = jax.lax.top_k(jnp.where(sc > 0, sc, -1.0), max_keypoints)
+    kps = Keypoints(xy=jnp.stack([xs[sel], ys[sel]], -1), score=v,
+                    angle=jnp.zeros((max_keypoints,)), valid=v > 0)
+    return BriskDetections(keypoints=kps, octave=oc[sel])
+
+
+def detect_dense(img, *, threshold: float = 30.0, n_octaves: int = 3):
+    """Base-resolution score map (max over octave layers, coarse layers
+    nearest-upsampled); corners are `map > 0`."""
+    img = jnp.asarray(img, jnp.float32)
+    h, w = img.shape
+    out = jnp.zeros((h, w), jnp.float32)
+    level = img
+    for o in range(n_octaves):
+        s = fast_mod.detect_dense(level, threshold, fast_type="9_16",
+                                  nms=True)
+        f = 1 << o
+        if f > 1:
+            s = jnp.kron(s, jnp.ones((f, f), jnp.float32))
+        out = jnp.maximum(out, s[:h, :w])
+        if o + 1 < n_octaves:
+            level = gaussian_blur(level, 1.0)[::2, ::2]
+    return out
+
+
+def _sample_rings(img, xy, offsets, ring_id, scale):
+    """Sample every pattern point from its ring's blur level.
+    offsets: (N, P, 2) [dy, dx] rotated+scaled; returns (N, P)."""
+    blurs = [gaussian_blur(img, sig) for (_r, _n, sig) in RINGS]
+    px = xy[:, 0:1] + offsets[..., 1]
+    py = xy[:, 1:2] + offsets[..., 0]
+    pts = jnp.stack([px, py], -1).reshape(-1, 2)
+    out = jnp.zeros(px.shape, jnp.float32)
+    rid = jnp.asarray(ring_id)[None, :]
+    for r, b in enumerate(blurs):
+        vals = bilinear_sample(b, pts).reshape(px.shape)
+        out = jnp.where(rid == r, vals, out)
+    return out
+
+
+def orientations(img, xy, valid, *, pattern_scale: float = 1.0,
+                 kp_scale=None):
+    """BRISK orientation: gradient-weighted sum over long pairs
+    g = Σ (I(pj) − I(pi)) · (pj − pi) / ‖pj − pi‖²."""
+    img = jnp.asarray(img, jnp.float32)
+    pts_np, ring_id, _short, long_pairs = _pattern()
+    offs = jnp.asarray(pts_np) * pattern_scale          # (P, 2)
+    n = xy.shape[0]
+    per_kp = jnp.broadcast_to(offs, (n,) + offs.shape)
+    if kp_scale is not None:
+        per_kp = per_kp * jnp.asarray(kp_scale)[:, None, None]
+    samples = _sample_rings(img, xy, per_kp,
+                            ring_id, pattern_scale)     # (N, P)
+    pi = jnp.asarray(long_pairs[:, 0])
+    pj = jnp.asarray(long_pairs[:, 1])
+    dvec = offs[pj] - offs[pi]                          # (L, 2) [dy, dx]
+    d2 = jnp.sum(dvec * dvec, -1)
+    wgt = (samples[:, pj] - samples[:, pi]) / d2[None]  # (N, L)
+    gy = jnp.sum(wgt * dvec[None, :, 0], -1)
+    gx = jnp.sum(wgt * dvec[None, :, 1], -1)
+    ang = jnp.arctan2(gy, gx)
+    return jnp.where(jnp.asarray(valid), ang, 0.0)
+
+
+def describe(img, xy, angle, valid, *, pattern_scale: float = 1.0,
+             kp_scale=None) -> Descriptors:
+    """512-bit descriptor from short-pair intensity comparisons on the
+    rotated pattern."""
+    img = jnp.asarray(img, jnp.float32)
+    pts_np, ring_id, short_pairs, _long = _pattern()
+    offs = jnp.asarray(pts_np) * pattern_scale          # (P, 2) [dy, dx]
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    ry = (offs[None, :, 0] * ca[:, None] + offs[None, :, 1] * sa[:, None])
+    rx = (-offs[None, :, 0] * sa[:, None] + offs[None, :, 1] * ca[:, None])
+    rot = jnp.stack([ry, rx], -1)                       # (N, P, 2)
+    if kp_scale is not None:
+        rot = rot * jnp.asarray(kp_scale)[:, None, None]
+    samples = _sample_rings(img, xy, rot, ring_id, pattern_scale)
+    pi = jnp.asarray(short_pairs[:, 0])
+    pj = jnp.asarray(short_pairs[:, 1])
+    bits = (samples[:, pi] > samples[:, pj]).astype(jnp.float32)
+    return Descriptors(bits=bits * jnp.asarray(valid)[:, None])
+
+
+def detect_and_describe(img, *, threshold: float = 30.0, n_octaves: int = 3,
+                        pattern_scale: float = 1.0,
+                        max_keypoints: int = 512):
+    det = detect(img, threshold=threshold, n_octaves=n_octaves,
+                 max_keypoints=max_keypoints)
+    kps = det.keypoints
+    # pattern grows with the detection octave (cv::BRISK scales the
+    # sampling pattern by the keypoint size)
+    kp_scale = jnp.exp2(det.octave.astype(jnp.float32))
+    ang = orientations(img, kps.xy, kps.valid, pattern_scale=pattern_scale,
+                       kp_scale=kp_scale)
+    desc = describe(img, kps.xy, ang, kps.valid,
+                    pattern_scale=pattern_scale, kp_scale=kp_scale)
+    return det._replace(keypoints=kps.replace(angle=ang)), desc

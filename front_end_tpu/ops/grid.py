@@ -92,6 +92,11 @@ def _topk_2stage(cells, k: int, chunk: int, k0: int):
     base = (jnp.arange(C, dtype=jnp.int32) * chunk)[:, None]
     flat0 = (i0.astype(jnp.int32) + base).reshape(*lead, C * k0)
     v0 = v0.reshape(*lead, C * k0)
+    if C * k0 < k:  # small images: winner pool smaller than capacity
+        short = k - C * k0
+        v0 = jnp.pad(v0, [(0, 0)] * len(lead) + [(0, short)],
+                     constant_values=-1.0)
+        flat0 = jnp.pad(flat0, [(0, 0)] * len(lead) + [(0, short)])
     v, sel = jax.lax.top_k(v0, k)                        # (..., k)
     idx = jnp.take_along_axis(flat0, sel, axis=-1)
     return v, jnp.minimum(idx, M - 1)

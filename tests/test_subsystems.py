@@ -259,3 +259,39 @@ class TestFeed:
         next(it)
         with pytest.raises(RuntimeError):
             next(it)
+
+
+class TestFactoryZoo:
+    """Every detector family of the reference factory
+    (`features.py:441-452`: FAST/SURF/BRISK/AKAZE/ORB) is supported."""
+
+    def _img(self, seed=0):
+        rs = np.random.RandomState(seed)
+        img = np.full((96, 128), 128.0, np.float32)
+        for _ in range(40):
+            y, x = rs.randint(10, 80), rs.randint(10, 110)
+            s = rs.randint(4, 10)
+            img[y:y + s, x:x + s] = rs.uniform(20, 235)
+        return jnp.asarray(img)
+
+    def test_all_detector_families_supported(self):
+        t = features.detector_table()
+        img = self._img()
+        for fam in ("FAST", "SURF", "BRISK", "AKAZE", "ORB"):
+            det_id = features.ids_for(fam, t)[0]
+            fn, ok = features.make_detector(det_id)
+            assert ok, fam
+            s = fn(img)
+            assert s.shape == img.shape, fam
+            assert bool((s > 0).any()), fam
+
+    def test_descriptor_families(self):
+        t = features.descriptor_table()
+        img = self._img(1)
+        xy = jnp.asarray([[48.0, 40.0], [64.0, 50.0], [40.0, 60.0]])
+        for fam in ("BRIEF", "SURF", "FREAK", "ORB"):
+            desc_id = features.ids_for(fam, t)[0]
+            fn, ok = features.make_descriptor(desc_id)
+            assert ok, fam
+            d = fn(img, xy)
+            assert d.bits.shape[0] == 3, fam
