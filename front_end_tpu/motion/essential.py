@@ -182,15 +182,22 @@ class EssentialResult(NamedTuple):
 
 @f32_precision
 def essential_scaled_motion(key, uva, uvb, Xa, Xb, valid, rig, *,
-                            n_hyps: int = 256, threshold_px: float = 1.0
+                            n_hyps: int = 256, threshold_px: float = 1.0,
+                            solver: str = "eight_point"
                             ) -> EssentialResult:
     """Full `extractScaledMotion` capability (`algorithm.py:1501-1583`):
 
-    RANSAC 8-point on the left-camera pixel tracks (a->b), cheirality vote,
-    then metric scale from stereo-triangulated 3D pairs.  uva/uvb are
-    (N,>=2) pixel tensors (left view in columns 0:2); Xa/Xb are the stereo
-    triangulations of the same rows; threshold is in pixels like the
-    reference (WindowMatcher: 1 px, simulation: 3 px).
+    RANSAC essential estimation on the left-camera pixel tracks (a->b),
+    cheirality vote, then metric scale from stereo-triangulated 3D pairs.
+    uva/uvb are (N,>=2) pixel tensors (left view in columns 0:2); Xa/Xb
+    are the stereo triangulations of the same rows; threshold is in
+    pixels like the reference (WindowMatcher: 1 px, simulation: 3 px).
+
+    solver: "eight_point" (default; one batched SVD per hypothesis) or
+    "five_point" (the reference's Nister minimal solver via
+    `motion.five_point` — w⁵ sample efficiency, so `n_hyps` can be ~5-10×
+    smaller for the same confidence at high outlier rates).  Both paths
+    refit the winning consensus with the weighted 8-point.
     """
     f = rig.fx
     pp = rig.pp
@@ -198,20 +205,33 @@ def essential_scaled_motion(key, uva, uvb, Xa, Xb, valid, rig, *,
     xb = (jnp.asarray(uvb)[:, :2] - pp) / f
     thr = threshold_px / f
 
-    def fit(sub):
-        return eight_point(sub[0], sub[1])
+    if solver == "five_point":
+        from front_end_tpu.motion import five_point as fp
+        E0, inliers0, _, _ = fp.ransac_five_point(
+            key, xa, xb, valid, n_hyps=n_hyps, threshold=thr)
+        # weighted 8-point refit on the consensus (keep if not worse)
+        E1 = eight_point(xa, xb, inliers0.astype(jnp.float32))
+        inliers1 = (sampson_error(E1, xa, xb) < thr) & valid
+        better = jnp.sum(inliers1) >= jnp.sum(inliers0)
+        E = jnp.where(better, E1, E0)
+        inliers = jnp.where(better, inliers1, inliers0)
+        n_inl = jnp.sum(inliers)
+    else:
+        def fit(sub):
+            return eight_point(sub[0], sub[1])
 
-    def resid(E, d):
-        return sampson_error(E, d[0], d[1])
+        def resid(E, d):
+            return sampson_error(E, d[0], d[1])
 
-    def refit(d, w):
-        return eight_point(d[0], d[1], w)
+        def refit(d, w):
+            return eight_point(d[0], d[1], w)
 
-    res = ransac_mod.ransac(key, fit, resid, (xa, xb), valid, k=8,
-                            n_hyps=n_hyps, threshold=thr, refit_fn=refit)
-    E = res.H
-    R, t, votes = select_cheirality(E, xa, xb, res.inliers)
-    T = estimate_scale(Xa, Xb, R, res.inliers)
+        res = ransac_mod.ransac(key, fit, resid, (xa, xb), valid, k=8,
+                                n_hyps=n_hyps, threshold=thr,
+                                refit_fn=refit)
+        E, inliers, n_inl = res.H, res.inliers, res.n_inliers
+    R, t, votes = select_cheirality(E, xa, xb, inliers)
+    T = estimate_scale(Xa, Xb, R, inliers)
     H = se3.create_homog(R, T)
-    return EssentialResult(H=H, R=R, T=T, E=E, inliers=res.inliers,
-                           n_inliers=res.n_inliers, votes=votes)
+    return EssentialResult(H=H, R=R, T=T, E=E, inliers=inliers,
+                           n_inliers=n_inl, votes=votes)
