@@ -40,36 +40,155 @@ def keypoint_stats(score_map) -> dict:
             "Y": (float(ys.mean()), float(ys.std()))}
 
 
+@jax.jit
+def _map_stats_batch(smap, thresholds):
+    """Per-threshold keypoint statistics from ONE response map.
+
+    smap: (H, W); thresholds: (K,).  Returns count, mean/std of x and y
+    for each threshold — all on-device, no per-ID host transfer.
+    """
+    H, W = smap.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+
+    def one(t):
+        m = (smap > t).astype(jnp.float32)
+        n = jnp.sum(m)
+        d = jnp.maximum(n, 1.0)
+        mx = jnp.sum(xs * m) / d
+        my = jnp.sum(ys * m) / d
+        sx = jnp.sqrt(jnp.maximum(jnp.sum(xs * xs * m) / d - mx * mx, 0.0))
+        sy = jnp.sqrt(jnp.maximum(jnp.sum(ys * ys * m) / d - my * my, 0.0))
+        return n, mx, sx, my, sy
+
+    return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32))
+
+
+# jitted response-map builders cached per structural configuration:
+# the traced `threshold` argument is applied AFTER the response map, so
+# every ID in a structural group shares one compilation.
+_RESPONSE_CACHE: dict = {}
+
+
+def _structural_response_fn(settings):
+    """Settings -> (key, fn(img) -> threshold-independent response map).
+
+    The FAST margin score (`ops/fast.py:41-74`) is exactly the largest
+    threshold at which a pixel stays a corner, so `map > t` reproduces
+    the detector at ANY threshold; NMS commutes with thresholding for a
+    margin score (a suppressing neighbour always clears any threshold the
+    suppressed pixel clears), so one NMS'd map serves every NMS ID too.
+    Other families whose threshold only gates their response reuse the
+    same trick where valid; structurally distinct params (octave counts,
+    diffusivity, circle type) key separate compilations.
+    """
+    name, p = settings["Name"], settings["Param"]
+    if name in ("FAST", "ORB"):
+        d_type = p.get("d_type", "9_16")
+        nms = bool(p.get("non_maximum_suppression", True))
+        key = ("FAST", d_type, nms)
+
+        def fn(img):
+            s = fast_mod.fast_score_map(img, d_type)
+            return fast_mod.nms3x3(s) if nms else s
+        thr = float(p.get("threshold", p.get("fast_threshold", 15)))
+        return key, fn, thr
+    return None, None, None
+
+
 def single_image_detection(det_ids, left, right, return_kp: bool = False):
     """Sweep detector IDs over a stereo pair.
 
     Returns a list of `frameDetection`-shaped dicts: per ID the L/R
     keypoint statistics and a ProcTime record (the reference times each
     `detector.detect` call, `bin/feature_node:104-110`).
+
+    Unlike the reference's per-ID detector loop (`feature_node_cpp.cpp:
+    23-66`), IDs that share a structural configuration are batched: the
+    FAST family computes ONE margin-score map (+ one NMS map) per circle
+    type and evaluates every threshold against it in a single vmapped
+    stats program, so the full 354-ID FAST sweep costs three detector
+    launches instead of 354 recompilations.
     """
     left = jnp.asarray(left, jnp.float32)
     right = jnp.asarray(right, jnp.float32)
-    out = []
+
+    resolved = []
     for det_id in det_ids:
-        fn, ok = features_mod.make_detector(det_id)
-        rec = {"detID": det_id, "supported": bool(ok)}
-        if not ok:
-            out.append(rec)
-            continue
-        jfn = jax.jit(fn)
+        settings = (features_mod.detector_table()[det_id]
+                    if isinstance(det_id, str) else det_id)
+        resolved.append((det_id, settings))
+
+    # ---- group the margin-score families ------------------------------
+    groups: dict = {}
+    rest = []
+    for det_id, settings in resolved:
+        key, fn, thr = _structural_response_fn(settings)
+        if key is None:
+            rest.append((det_id, settings))
+        else:
+            groups.setdefault(key, (fn, []))[1].append((det_id, thr))
+
+    records = {}
+    for key, (fn, members) in groups.items():
+        if key not in _RESPONSE_CACHE:
+            _RESPONSE_CACHE[key] = jax.jit(fn)
+        jfn = _RESPONSE_CACHE[key]
         t0 = time.perf_counter()
         sl = jfn(left)
         sr = jfn(right)
-        jax.block_until_ready((sl, sr))
-        rec["processingTime"] = [
-            {"label": "detection", "seconds": time.perf_counter() - t0}]
-        rec["leftFeatures"] = keypoint_stats(sl)
-        rec["rightFeatures"] = keypoint_stats(sr)
-        if return_kp:
-            rec["left_score_map"] = np.asarray(sl)
-            rec["right_score_map"] = np.asarray(sr)
-        out.append(rec)
-    return out
+        thrs = jnp.asarray([t for _, t in members], jnp.float32)
+        stats_l = _map_stats_batch(sl, thrs)
+        stats_r = _map_stats_batch(sr, thrs)
+        jax.block_until_ready((stats_l, stats_r))
+        dt = (time.perf_counter() - t0) / max(len(members), 1)
+        nl, mxl, sxl, myl, syl = (np.asarray(a) for a in stats_l)
+        nr, mxr, sxr, myr, syr = (np.asarray(a) for a in stats_r)
+        for i, (det_id, thr) in enumerate(members):
+            rec = {
+                "detID": det_id, "supported": True,
+                "processingTime": [{"label": "detection", "seconds": dt}],
+                "leftFeatures": {"nPoints": int(nl[i]),
+                                 "X": (float(mxl[i]), float(sxl[i])),
+                                 "Y": (float(myl[i]), float(syl[i]))},
+                "rightFeatures": {"nPoints": int(nr[i]),
+                                  "X": (float(mxr[i]), float(sxr[i])),
+                                  "Y": (float(myr[i]), float(syr[i]))},
+            }
+            if return_kp:
+                rec["left_score_map"] = np.where(
+                    np.asarray(sl) > thr, np.asarray(sl), 0.0)
+                rec["right_score_map"] = np.where(
+                    np.asarray(sr) > thr, np.asarray(sr), 0.0)
+            records[id(det_id) if not isinstance(det_id, str) else det_id] \
+                = rec
+
+    # ---- remaining families: structural-key jit cache ------------------
+    for det_id, settings in rest:
+        fn, ok = features_mod.make_detector(settings)
+        rec = {"detID": det_id, "supported": bool(ok)}
+        if ok:
+            skey = (settings["Name"],
+                    tuple(sorted((k, str(v))
+                                 for k, v in settings["Param"].items())))
+            if skey not in _RESPONSE_CACHE:
+                _RESPONSE_CACHE[skey] = jax.jit(fn)
+            jfn = _RESPONSE_CACHE[skey]
+            t0 = time.perf_counter()
+            sl = jfn(left)
+            sr = jfn(right)
+            jax.block_until_ready((sl, sr))
+            rec["processingTime"] = [
+                {"label": "detection", "seconds": time.perf_counter() - t0}]
+            rec["leftFeatures"] = keypoint_stats(sl)
+            rec["rightFeatures"] = keypoint_stats(sr)
+            if return_kp:
+                rec["left_score_map"] = np.asarray(sl)
+                rec["right_score_map"] = np.asarray(sr)
+        records[id(det_id) if not isinstance(det_id, str) else det_id] = rec
+
+    return [records[id(d) if not isinstance(d, str) else d]
+            for d in det_ids]
 
 
 def get_stereo_features(det_id, desc_id, left, right,
