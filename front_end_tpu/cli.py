@@ -113,18 +113,39 @@ def cmd_vo(args):
                              init_threshold=15.0),
         desc_bytes=32, ransac_hyps=256, ransac_threshold=0.5,
         max_disparity=192.0)
-    state = vo.init_state(rig, cfg)
-    step = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, cfg))
 
-    motions = []
-    for i, (l, r) in enumerate(DeviceFeed(frame_iter)):
-        state, out = step(state, l, r)
-        motions.append(np.array(out.motion))
-        if args.verbose and i % 25 == 0:
-            print(f"frame {i}: stereo={int(out.n_stereo)} "
-                  f"inliers={int(out.n_inliers)}")
-    poses = metrics.poses_from_motions(np.stack(motions))
-    print(f"processed {len(motions)} frames")
+    poses_list = []
+    if args.window:
+        # live window mode: tracker + windowed Schur BA in the loop
+        # (the reference's window_node / WindowMatcher pipeline)
+        from front_end_tpu.pipeline import window_vo
+        wcfg = window_vo.WindowVOConfig.create(
+            cfg, window=args.window_size, ba_every=args.ba_every)
+        state = window_vo.init_state(rig, wcfg)
+        step = jax.jit(
+            lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
+        for i, (l, r) in enumerate(DeviceFeed(frame_iter)):
+            state, out = step(state, l, r)
+            poses_list.append(np.array(out.frame.pose))
+            if args.verbose and i % 25 == 0:
+                print(f"frame {i}: stereo={int(out.frame.n_stereo)} "
+                      f"inliers={int(out.frame.n_inliers)} "
+                      f"tracked={int(out.n_tracked)} "
+                      f"ba_rms={float(out.ba_rms_px):.2f}px")
+        poses = np.stack(poses_list)
+    else:
+        state = vo.init_state(rig, cfg)
+        step = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, cfg))
+        motions = []
+        for i, (l, r) in enumerate(DeviceFeed(frame_iter)):
+            state, out = step(state, l, r)
+            motions.append(np.array(out.motion))
+            if args.verbose and i % 25 == 0:
+                print(f"frame {i}: stereo={int(out.n_stereo)} "
+                      f"inliers={int(out.n_inliers)}")
+        poses = metrics.poses_from_motions(np.stack(motions))
+    print(f"processed {len(poses)} frames"
+          + (" (windowed BA mode)" if args.window else ""))
     if gt is not None:
         n = min(len(poses), len(gt))
         ate = metrics.ate_rmse(poses[:n, :3, 3], gt[:n, :3, 3])
@@ -140,6 +161,9 @@ def cmd_bench(args):
 
 
 def main(argv=None):
+    from front_end_tpu.utils import cache as _cache
+    _cache.enable()
+
     p = argparse.ArgumentParser(prog="front_end_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -173,6 +197,10 @@ def main(argv=None):
     v.add_argument("--set-point", type=int, default=2000)
     v.add_argument("--out", default=None)
     v.add_argument("--verbose", action="store_true")
+    v.add_argument("--window", action="store_true",
+                   help="live window mode: tracker + windowed BA")
+    v.add_argument("--window-size", type=int, default=3)
+    v.add_argument("--ba-every", type=int, default=1)
     v.set_defaults(fn=cmd_vo)
 
     b = sub.add_parser("bench")

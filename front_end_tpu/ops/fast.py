@@ -1,18 +1,37 @@
-"""FAST corner detection as a dense TPU stencil.
+"""FAST corner detection as a dense TPU stencil — cv2-exact semantics.
 
 Rebuild of the capability of `cv::FASTX` as used by the reference's hot
 loop (`/root/reference/src/live_stereo.cpp:293,306` — TYPE_7_12 with NMS)
 and the Python grid detector (`src/front_end/features.py:609-641`, 9_16).
 
 Design: instead of the sparse candidate scan OpenCV performs per pixel,
-the segment test is evaluated DENSELY for every pixel as ~600 fused VPU
-ops over shifted copies of the image — no data-dependent control flow,
-one XLA program, batchable over images.  The per-pixel score is the exact
-FAST margin score (max threshold at which the pixel stays a corner), so
-`score > t` reproduces the detector at any threshold and the adaptive
-grid controller can reuse one score map for every cell's threshold.
+the segment test is evaluated DENSELY for every pixel as fused VPU ops
+over static slices of ONE padded copy of the image (`shift_views`) — no
+data-dependent control flow, one XLA program, batchable over images.
 
-Non-max suppression is a 3×3 reduce-window on a tie-broken integer score.
+Parity with OpenCV is exact, which requires replicating two quirks of
+its shared `FAST_t<patternSize>` template (verified empirically against
+cv2 on this machine, see tests/test_opencv_parity.py):
+
+1. The quick-rejection tests `tab[pixel[k]] | tab[pixel[k+8]]` (k=0..7)
+   are written for patternSize 16 but run for ALL pattern sizes with the
+   offset table wrapped modulo patternSize.  For 16 the 8 antipodal
+   pairs are implied by any 9-run (lossless); for 12 the pairs sit at
+   circular distance 4 and REJECT genuine 7-runs that avoid them; for 8
+   every pair degenerates to a single pixel, so TYPE_5_8 only fires when
+   ALL 8 neighbours are on the same side of the band.  Detection is
+   therefore gated on min(quick_margin, run_margin), not the pure
+   segment test.
+2. The corner response (`cornerScore<patternSize>`) ignores the quick
+   gates: it is the pure arc margin minus 1, and non-max suppression
+   keeps a corner iff its response is STRICTLY greater than all 8
+   neighbours' responses (0 at non-corners) — equal-score neighbours
+   suppress each other, with no tie-break.
+
+The per-pixel score is the margin (max threshold at which the pixel
+stays a corner = cv2 response + 1), so `margin > t` reproduces the
+detector at any threshold and the adaptive grid controller can reuse
+one margin map for every cell's threshold.
 """
 from __future__ import annotations
 
@@ -22,64 +41,121 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from front_end_tpu.ops.image import shift2d
+from front_end_tpu.ops.image import shift_views
 
-# Bresenham circles, clockwise from 12 o'clock; (dx, dy) with y down.
-CIRCLE_16 = ((0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2),
-             (1, 3), (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1),
-             (-2, -2), (-1, -3))
-CIRCLE_12 = ((0, -2), (1, -2), (2, -1), (2, 0), (2, 1), (1, 2), (0, 2),
-             (-1, 2), (-2, 1), (-2, 0), (-2, -1), (-1, -2))
-CIRCLE_8 = ((0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0),
-            (-1, -1))
+# Circle offsets (dx, dy) with y down, in OpenCV's exact `makeOffsets`
+# order (offsets16/12/8 with (col, row) and +row = down).  The ORDER
+# matters: the quick-test pairs are (k, (k+8) mod n) in THIS ordering.
+CIRCLE_16 = ((0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2),
+             (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0),
+             (-3, 1), (-2, 2), (-1, 3))
+CIRCLE_12 = ((0, 2), (1, 2), (2, 1), (2, 0), (2, -1), (1, -2), (0, -2),
+             (-1, -2), (-2, -1), (-2, 0), (-2, 1), (-1, 2))
+CIRCLE_8 = ((0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1), (-1, 0),
+            (-1, 1))
 
-# (circle, contiguous arc length) per OpenCV type
+# (circle, contiguous run length K+1) per OpenCV type (K = patternSize/2)
 TYPES = {"9_16": (CIRCLE_16, 9), "7_12": (CIRCLE_12, 7),
          "5_8": (CIRCLE_8, 5)}
 
 
-def fast_score_map(img, fast_type: str = "9_16"):
-    """Dense FAST margin score: (..., H, W) -> (..., H, W) float32.
+def _arc_margin(d, K: int):
+    """max over circular starts s of min over window j<K of d[(s+j) % n].
 
-    score[p] = max over contiguous arcs A of length K of
-               max( min_{i∈A}(c_i − p),  min_{i∈A}(p − c_i) )
-    i.e. the largest threshold t for which p passes the segment test.
-    Border pixels (within circle radius) score 0.
+    d: (n, ..., H, W) per-circle-pixel margins."""
+    n = d.shape[0]
+    dd = jnp.concatenate([d, d[:K - 1]], axis=0)
+    m = dd[:n]
+    for j in range(1, K):
+        m = jnp.minimum(m, dd[j:j + n])
+    return jnp.max(m, axis=0)
+
+
+def _quick_margin(d):
+    """min over cv2's 8 quick-test pairs (k, (k+8) mod n) of max margin."""
+    n = d.shape[0]
+    m = None
+    for k in range(8):
+        pair = jnp.maximum(d[k % n], d[(k + 8) % n])
+        m = pair if m is None else jnp.minimum(m, pair)
+    return m
+
+
+def _border_mask(shape):
+    """cv2 processes rows/cols [3, size-4] for EVERY pattern size."""
+    H, W = shape[-2:]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return (ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4)
+
+
+def fast_margins(img, fast_type: str = "9_16"):
+    """Dense FAST margins: (..., H, W) -> (detect_margin, score).
+
+    score[p]   = max over contiguous arcs A of length K of
+                 max( min_{i∈A}(c_i − p), min_{i∈A}(p − c_i) )
+                 — the pure segment-test margin; cv2 response = score − 1.
+    detect[p]  = the same but additionally gated (per brightness class)
+                 by cv2's quick-rejection pair tests; the pixel is a
+                 cv2 corner at threshold t iff detect[p] > t.
+    For 9_16 the gates are implied by any 9-run, so detect == score.
+    Border pixels (within 3 of the edge) have both margins 0.
     """
     circle, K = TYPES[fast_type]
     img = jnp.asarray(img, jnp.float32)
     n = len(circle)
-    # neighbor stack: (n, ..., H, W)
-    neigh = jnp.stack([shift2d(img, dy, dx) for (dx, dy) in circle])
-    diff = neigh - img[None]                       # c_i − p
-
-    def arc_score_exact(d):
-        # max over circular starts s of min over window j<K of d[s+j]
-        dd = jnp.concatenate([d, d[:K - 1]], axis=0)
-        m = dd[:n]
-        for j in range(1, K):
-            m = jnp.minimum(m, dd[j:j + n])
-        return jnp.max(m, axis=0)
-
-    bright = arc_score_exact(-diff)                # p − c_i margin
-    dark = arc_score_exact(diff)                   # c_i − p margin
-    score = jnp.maximum(bright, dark)
-
-    # zero the border (circle radius)
     r = max(max(abs(dx), abs(dy)) for dx, dy in circle)
-    H, W = img.shape[-2:]
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    interior = ((ys >= r) & (ys < H - r) & (xs >= r) & (xs < W - r))
-    return jnp.where(interior, score, 0.0)
+    view = shift_views(img, r)
+    neigh = jnp.stack([view(dy, dx) for (dx, dy) in circle])
+    dark = img[None] - neigh                       # p − c_i  (darker margin)
+    bright = -dark                                 # c_i − p  (brighter margin)
+
+    run_d = _arc_margin(dark, K)
+    run_b = _arc_margin(bright, K)
+    score = jnp.maximum(run_d, run_b)
+
+    if n == 16:
+        detect = score
+    else:
+        detect = jnp.maximum(jnp.minimum(run_d, _quick_margin(dark)),
+                             jnp.minimum(run_b, _quick_margin(bright)))
+
+    interior = _border_mask(img.shape)
+    zero = jnp.zeros_like(score)
+    return jnp.where(interior, detect, zero), jnp.where(interior, score, zero)
+
+
+def fast_score_map(img, fast_type: str = "9_16"):
+    """Pure segment-test margin map (= cv2 FAST response + 1)."""
+    return fast_margins(img, fast_type)[1]
+
+
+def nms_cv2(score):
+    """OpenCV FAST non-max suppression on a sparse score map.
+
+    `score` holds the corner response at detected corners and 0
+    elsewhere.  A corner survives iff its score is STRICTLY greater than
+    all 8 neighbours' values — equal-score neighbours annihilate each
+    other, exactly like cv2's row-buffer comparison."""
+    score = jnp.asarray(score, jnp.float32)
+    view = shift_views(score, 1)
+    neigh_max = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            v = view(dy, dx)
+            neigh_max = v if neigh_max is None else jnp.maximum(neigh_max, v)
+    # edge-padded views replicate the border pixel itself, which would
+    # self-suppress; border scores are already 0 so clamp is harmless.
+    return jnp.where(score > neigh_max, score, 0.0)
 
 
 def nms3x3(score):
-    """3×3 non-max suppression with deterministic tie-break.
+    """3×3 NMS with deterministic tie-break (first index wins).
 
-    Returns the score map with non-maxima zeroed.  Ties are broken by
-    flat pixel index (first occurrence wins), encoded into the low bits
-    of an int32 composite so reduce-window max stays exact.
+    NOT cv2 semantics (cv2 lets ties annihilate, see `nms_cv2`) — kept
+    for callers that need exactly-one-survivor-per-plateau behaviour.
     """
     score = jnp.asarray(score)
     H, W = score.shape[-2:]
@@ -88,28 +164,29 @@ def nms3x3(score):
            + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     # higher score wins; equal score -> smaller index wins.  The index is
     # wrapped to 20 bits: within any 3×3 window indices differ by <= W+1,
-    # so pairwise comparisons stay consistent (a wrap can flip an ordering
-    # only between pixels ~2^20 apart, never neighbours).
+    # so pairwise comparisons stay consistent.
     comp = q * (1 << 20) + ((1 << 20) - 1 - (idx & 0xFFFFF))
+    view = shift_views(comp, 1)
     neigh_max = jnp.full_like(comp, jnp.iinfo(jnp.int32).min)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            neigh_max = jnp.maximum(neigh_max,
-                                    shift2d(comp, dy, dx))
+            neigh_max = jnp.maximum(neigh_max, view(dy, dx))
     keep = comp > neigh_max
     return jnp.where(keep, score, 0.0)
 
 
 def detect_dense(img, threshold, fast_type: str = "9_16", nms: bool = True):
-    """Score map thresholded (and optionally NMS'd): corners = map > 0.
+    """cv2-exact FAST: returns the response map of surviving corners
+    (score where corner else 0); corners = map > 0.
 
     `threshold` may be a scalar or a per-pixel map (the adaptive grid
     controller passes a per-cell threshold image).
     """
-    s = fast_score_map(img, fast_type)
-    s = jnp.where(s > jnp.asarray(threshold, jnp.float32), s, 0.0)
+    detect, score = fast_margins(img, fast_type)
+    t = jnp.asarray(threshold, jnp.float32)
+    s = jnp.where(detect > t, score, 0.0)
     if nms:
-        s = nms3x3(s)
+        s = nms_cv2(s)
     return s

@@ -102,7 +102,7 @@ def brief_bitplanes(img, n_bits: int = 256, pattern_seed: int = 7,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hp // tile_h, Wp // tile_w),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, n_words, tile_h, tile_w),
                                lambda b, i, j, offs: (b, 0, i, j)),
         scratch_shapes=[

@@ -204,16 +204,28 @@ def tracked_pairs(state_prev: WindowState, upd: TrackUpdate, X_cam_cur):
 
 
 def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
-                  huber_px: float = 3.0, min_obs: int = 2):
+                  huber_px: float = 3.0, min_obs: int = 2,
+                  outlier_gate_px: float = 8.0):
     """Windowed BA over the store: optimize the W window poses (+ the
     landmarks observed >= min_obs times in-window).  Returns the updated
-    state.  This is the `sba_node` capability wired to live tracking."""
-    from front_end_tpu.ba import schur
+    state.  This is the `sba_node` capability wired to live tracking.
+
+    `outlier_gate_px`: observations whose reprojection residual at the
+    initial state exceeds this are dropped before optimizing — the BA
+    counterpart of the RANSAC gating the frame-to-frame path gets
+    (descriptor mis-associations land tens of px off; Huber alone still
+    lets their saturated influence bias the window poses).
+    """
+    from front_end_tpu.ba import factors, schur
 
     store = state.store
     obs_count = jnp.sum(store.vis, axis=1)
     use = store.valid & (obs_count >= min_obs)
     vis = store.vis & use[:, None] & state.pose_valid[None, :]
+    if outlier_gate_px is not None:
+        r = factors.residual(state.poses[None, :], store.Xw[:, None, :],
+                             store.meas, rig)
+        vis = vis & (jnp.sum(r * r, -1) < outlier_gate_px ** 2)
     res = schur.ba_solve(state.poses, store.Xw, store.meas, vis, rig,
                         iters=iters, huber_px=huber_px)
     new_store = store._replace(

@@ -27,6 +27,15 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running end-to-end tests (deselect with "
+        "-m 'not slow')")
+    config.addinivalue_line(
+        "markers", "tpu: requires real TPU hardware (skipped on the "
+        "virtual CPU mesh; the driver runs them on-chip)")
+
+
 @pytest.fixture(scope="session")
 def devices():
     d = jax.devices()

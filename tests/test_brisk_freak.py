@@ -74,7 +74,11 @@ def test_brisk_descriptor_matches_under_shift():
 
 
 def _fast_keypoints(img, k=96):
-    s = fast_mod.detect_dense(jnp.asarray(img), 25.0, nms=True)
+    # tie-breaking NMS: on synthetic blocks cv2's tie-annihilating
+    # suppression (detect_dense nms=True) would kill the equal-score
+    # square corners; this helper only needs a stable keypoint set.
+    s = fast_mod.nms3x3(
+        fast_mod.detect_dense(jnp.asarray(img), 25.0, nms=False))
     h, w = s.shape
     v, idx = jax.lax.top_k(s.reshape(-1), k)
     xy = jnp.stack([(idx % w).astype(jnp.float32),

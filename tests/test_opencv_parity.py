@@ -36,13 +36,10 @@ CV_TYPES = {
 
 
 class TestFastParity:
-    """Corner-set agreement with cv2.FastFeatureDetector.
-
-    Without NMS the segment test is deterministic and the sets must match
-    EXACTLY.  With NMS, cv2 suppresses equal-score neighbours pairwise
-    (ties can kill both) while our tie-break keeps exactly one, so a tiny
-    tie-induced difference is allowed.
-    """
+    """Corner-set agreement with cv2.FastFeatureDetector — EXACT, with
+    and without NMS, for all three pattern types (the dense detector
+    replicates cv2's shared quick-rejection gates and its strict-greater
+    tie-annihilating suppression; see ops/fast.py docstring)."""
 
     @pytest.mark.parametrize("fast_type", ["9_16", "7_12", "5_8"])
     @pytest.mark.parametrize("threshold", [10, 25, 40])
@@ -64,7 +61,7 @@ class TestFastParity:
             f"{fast_type} t={threshold}: {len(mine ^ cvset)} differ "
             f"(cv2 {len(cvset)}, tpu {len(mine)})")
 
-    @pytest.mark.parametrize("fast_type", ["9_16", "7_12"])
+    @pytest.mark.parametrize("fast_type", ["9_16", "7_12", "5_8"])
     @pytest.mark.parametrize("threshold", [10, 25])
     def test_corner_set_nms(self, fast_type, threshold):
         from front_end_tpu.ops import fast as fast_mod
@@ -80,31 +77,31 @@ class TestFastParity:
             nms=True))
         ys, xs = np.nonzero(s > 0)
         mine = set(zip(xs.tolist(), ys.tolist()))
-        union = max(len(mine | cvset), 1)
-        diff = len(mine ^ cvset)
-        assert diff / union <= 0.05, (
-            f"{fast_type} t={threshold}: {diff}/{union} disagree")
+        assert mine == cvset, (
+            f"{fast_type} t={threshold}: {len(mine ^ cvset)} differ "
+            f"(cv2 {len(cvset)}, tpu {len(mine)})")
 
-    def test_margin_score_matches_cv2_score(self):
-        """The dense margin score IS cv2's FAST score for 9_16."""
+    @pytest.mark.parametrize("fast_type", ["9_16", "7_12"])
+    def test_margin_score_matches_cv2_score(self, fast_type):
+        """The dense margin score = cv2 FAST response + 1, exactly.
+
+        cv2 only fills `response` when nonmaxSuppression=True (with it
+        off every keypoint comes back with response 0.0 — verified in
+        this environment), so the oracle detects WITH suppression."""
         from front_end_tpu.ops import fast as fast_mod
 
         img8 = _textured(seed=7)
         det = cv2.FastFeatureDetector_create(
-            threshold=15, nonmaxSuppression=False,
-            type=cv2.FastFeatureDetector_TYPE_9_16)
+            threshold=15, nonmaxSuppression=True,
+            type=CV_TYPES[fast_type])
         kps = det.detect(img8)
         smap = np.asarray(fast_mod.fast_score_map(
-            jnp.asarray(img8, jnp.float32), "9_16"))
-        checked = 0
-        for k in kps[:200]:
+            jnp.asarray(img8, jnp.float32), fast_type))
+        assert len(kps) > 20
+        for k in kps:
             x, y = int(round(k.pt[0])), int(round(k.pt[1]))
-            # cv2 response = max threshold at which still a corner
-            assert abs(smap[y, x] - (k.response + 1)) <= 1.0 or \
-                abs(smap[y, x] - k.response) <= 1.0, (
-                    f"({x},{y}): tpu {smap[y, x]} cv2 {k.response}")
-            checked += 1
-        assert checked > 20
+            assert smap[y, x] == k.response + 1, (
+                f"({x},{y}): tpu {smap[y, x]} cv2 {k.response}")
 
 
 class TestCornerSubpixParity:
@@ -120,7 +117,10 @@ class TestCornerSubpixParity:
                 img[cy:cy + 12, cx:cx + 12] = 200.0
                 corners.append((cx, cy))
         img = cv2.GaussianBlur(img, (5, 5), 1.2)
-        pts0 = np.array(corners, np.float32) + np.array([0.8, -0.6])
+        # keep float32: cv2.cornerSubPix rejects float64 point arrays
+        # (checkVector(2, CV_32F) == -1 -> the "count >= 0" assertion)
+        pts0 = (np.array(corners, np.float32)
+                + np.array([0.8, -0.6], np.float32))
 
         cvpts = pts0.reshape(-1, 1, 2).copy()
         cv2.cornerSubPix(

@@ -87,9 +87,12 @@ class TestFast:
         np.testing.assert_allclose(ours, ref, atol=1e-4)
 
     def test_detects_square_corners(self):
+        # nms=False: on a noise-free square every corner pixel ties its
+        # neighbours and cv2-exact NMS (ties annihilate) suppresses all
+        # of them — exactly what cv2 does on this image.
         img = np.full((64, 64), 50.0, np.float32)
         img[20:40, 20:40] = 200.0
-        s = np.array(fast.detect_dense(jnp.asarray(img), 20.0))
+        s = np.array(fast.detect_dense(jnp.asarray(img), 20.0, nms=False))
         ys, xs = np.nonzero(s)
         assert len(ys) >= 4
         # all detections near the 4 corners of the square
@@ -309,6 +312,11 @@ class TestStereoEndToEnd:
         """Right image = left shifted by a known disparity; the full
         detect→describe→match path must recover that disparity."""
         left = textured_image(192, 256, seed=11, n_blobs=80)
+        # sensor-style texture so corner scores don't tie (cv2-exact NMS
+        # annihilates equal-score neighbours on noise-free blocks)
+        left = np.clip(np.round(
+            left + np.random.RandomState(1).normal(0, 2.0, left.shape)),
+            0, 255).astype(np.float32)
         disp = 7
         right = np.roll(left, -disp, axis=1)
 

@@ -23,6 +23,11 @@ def make_planar_sequence(n_frames=6, shift=2, disp=10, h=192, w=256, seed=21):
         y, x = rs.randint(5, h - 15), rs.randint(5, W_big - 15)
         s = rs.randint(4, 12)
         big[y:y + s, x:x + s] = rs.uniform(15, 240)
+    # per-pixel sensor-style texture: uniform-value squares tie every
+    # corner score and cv2-exact NMS (ties annihilate) would kill them;
+    # real frames never tie.  Rounded so values stay integer-like.
+    big = np.clip(np.round(big + rs.normal(0, 2.0, big.shape)),
+                  0, 255).astype(np.float32)
 
     lefts, rights = [], []
     for t in range(n_frames):

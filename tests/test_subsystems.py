@@ -272,6 +272,10 @@ class TestFactoryZoo:
             y, x = rs.randint(10, 80), rs.randint(10, 110)
             s = rs.randint(4, 10)
             img[y:y + s, x:x + s] = rs.uniform(20, 235)
+        # sensor-style texture so FAST corner scores don't tie (cv2-exact
+        # NMS annihilates equal-score neighbours on noise-free blocks)
+        img = np.clip(np.round(img + rs.normal(0, 2.0, img.shape)),
+                      0, 255).astype(np.float32)
         return jnp.asarray(img)
 
     def test_all_detector_families_supported(self):

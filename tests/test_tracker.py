@@ -114,7 +114,10 @@ class TestTracker:
         dxi = 0.01 * jax.random.normal(key, (3, 6)).at[0].set(0.0)
         poses_pert = jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(dxi, st.poses)
         st_bad = st._replace(poses=poses_pert)
-        st_ref, res = tracker.run_window_ba(st_bad, rig, iters=10)
+        # gate off: the deliberate pose perturbation pushes residuals past
+        # the live outlier gate (which assumes a VO-consistent init)
+        st_ref, res = tracker.run_window_ba(st_bad, rig, iters=10,
+                                            outlier_gate_px=None)
         assert float(res.cost) < float(res.cost0)
         ang = np.degrees(np.array(jax.vmap(se3.rotation_geodesic_error)(
             st_ref.poses[:, :3, :3], st.poses[:, :3, :3])))
