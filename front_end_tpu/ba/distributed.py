@@ -34,6 +34,30 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> Mesh:
+    """Real multi-host entry: start the JAX distributed runtime and
+    return the global landmark mesh spanning every host's devices.
+
+    On TPU pods the arguments are auto-detected from the environment
+    (call with no args); elsewhere pass coordinator/num_processes/
+    process_id explicitly.  The landmark axis then spans hosts: shard_map
+    collectives ride ICI within a slice and DCN across slices — the
+    TPU-native replacement for the reference's ROS graph as its only
+    distribution mechanism (SURVEY §5 'Distributed communication
+    backend').  Every process runs the same `ba_solve_sharded` call on
+    its addressable shard of the landmark arrays.
+    """
+    if jax.process_count() == 1:
+        kw = {}
+        if coordinator_address is not None:
+            kw = dict(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+        jax.distributed.initialize(**kw)
+    return make_mesh()
+
+
 def _local_cost(poses, X, meas, vis_w, rig, huber_px):
     r = factors.residual(poses[None, :], X[:, None, :], meas, rig)
     r2 = jnp.sum(r * r, -1)

@@ -62,6 +62,82 @@ def cmd_extract_motion(args):
     print(json.dumps(stats))
 
 
+def cmd_ba_scaling(args):
+    """Distributed-BA scaling report: run the landmark-sharded Schur LM
+    solver at 1/2/4/.../N devices on one synthetic window problem and
+    report {n_devices: seconds, efficiency} (BASELINE.md: >=80% scaling
+    efficiency with reported 1-chip/1-host/N-host points).
+
+    With --multihost, initializes `jax.distributed` first (auto-detected
+    on TPU pods) so the landmark mesh spans every host.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from front_end_tpu.ba import distributed
+    from front_end_tpu.eval import metrics
+    from front_end_tpu.geometry import se3
+    from front_end_tpu.geometry.camera import StereoRig
+    from front_end_tpu.sim import synthetic as sim
+
+    if args.multihost:
+        distributed.initialize_multihost()
+    n_dev = len(jax.devices())
+    W, L = args.window, args.landmarks
+    rig = StereoRig.create(fx=300.0, cx=160.0, cy=120.0, baseline=0.3,
+                           width=320, height=240)
+    cat = sim.motion_category("medium")
+    key = jax.random.PRNGKey(args.seed)
+    Ts = [jnp.eye(4)]
+    for _ in range(W - 1):
+        key, k = jax.random.split(key)
+        _, Ht = sim.sample_motion(k, cat)
+        Ts.append(Ht @ Ts[-1])
+    T = jnp.stack(Ts)
+    key, k = jax.random.split(key)
+    world = sim.sample_world(k, rig, cat, L)
+    Xc = jax.vmap(lambda Tw: se3.transform_points(Tw, world.Xa))(T)
+    meas = jnp.swapaxes(jax.vmap(rig.project4)(Xc), 0, 1)
+    vis = jnp.swapaxes(jax.vmap(rig.in_view)(Xc), 0, 1) & \
+        world.valid[:, None]
+    key, kn, kp = jax.random.split(key, 3)
+    meas = meas + args.noise_px * jax.random.normal(kn, meas.shape)
+    dxi = 0.01 * jax.random.normal(kp, (W, 6)).at[0].set(0.0)
+    T0 = np.asarray(jax.vmap(lambda d, t: se3.se3_exp(d) @ t)(dxi, T))
+    Xp, measp, visp = map(np.asarray, distributed.pad_landmarks(
+        world.Xa, meas, vis, n_dev))
+
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    if n_dev not in sizes:
+        sizes.append(n_dev)
+    times = {}
+    for s in sizes:
+        mesh = distributed.make_mesh(s)
+        run = lambda: distributed.ba_solve_sharded(
+            mesh, T0, Xp, measp, visp, rig, iters=args.iters)
+        r = run()
+        jax.block_until_ready(r.poses)
+        t0 = time.perf_counter()
+        for _ in range(args.repeats):
+            r = run()
+        jax.block_until_ready(r.poses)
+        times[s] = (time.perf_counter() - t0) / args.repeats
+        print(f"n={s}: {times[s]*1e3:.1f} ms  cost {float(r.cost):.1f} "
+              f"(from {float(r.cost0):.1f}) rms {float(r.rms_px):.2f}px")
+    eff = metrics.scaling_efficiency(
+        {n: n * Xp.shape[0] / t for n, t in times.items()})
+    print(json.dumps({
+        "n_hosts": jax.process_count(),
+        "n_devices": n_dev,
+        "landmarks": int(Xp.shape[0]),
+        "window": W,
+        "times_ms": {str(n): round(t * 1e3, 2) for n, t in times.items()},
+        "efficiency": {str(n): round(e, 3) for n, e in eff.items()},
+    }))
+
+
 def cmd_ransac_smoke(args):
     """bin/ransac: 200 landmarks under known Slow motion; print recovered
     vs ideal R, T (`bin/ransac:68-144`)."""
@@ -185,6 +261,16 @@ def main(argv=None):
     e.add_argument("--batch", type=int, default=64)
     e.add_argument("--ideal", action="store_true")
     e.set_defaults(fn=cmd_extract_motion)
+
+    bs = sub.add_parser("ba-scaling")
+    bs.add_argument("--landmarks", type=int, default=8192)
+    bs.add_argument("--window", type=int, default=3)
+    bs.add_argument("--iters", type=int, default=8)
+    bs.add_argument("--repeats", type=int, default=3)
+    bs.add_argument("--noise-px", type=float, default=0.5)
+    bs.add_argument("--seed", type=int, default=0)
+    bs.add_argument("--multihost", action="store_true")
+    bs.set_defaults(fn=cmd_ba_scaling)
 
     r = sub.add_parser("ransac-smoke")
     r.add_argument("--seed", type=int, default=0)
