@@ -27,7 +27,7 @@ from front_end_tpu.motion import essential, lm, ransac
 from front_end_tpu.sim import synthetic as sim
 
 SPEEDS = ("slow", "medium", "fast")
-EXTRACTORS = ("PCL", "Nister", "BA")
+EXTRACTORS = ("PCL", "Nister", "BA", "WindowBA")
 
 
 def _condition_batch(key, rig, cat, n_points, batch, noise_px,
@@ -61,6 +61,53 @@ def _extract(method, key, w, rig, threshold):
                                iters=25, huber_px=3.0)
         return res.H, jnp.sum(w.valid)
     raise ValueError(method)
+
+
+def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
+                         noise_px: float, outlier_frac: float, *,
+                         window: int = 3, batch: int = 64,
+                         iters: int = 20, huber_px: float = 3.0):
+    """Full-window simulated BA — the `bin/extractBA` study done right.
+
+    The reference's `simulatedBA` optimizes the WHOLE window state
+    (6-DoF poses + homogeneous landmark coordinates, scipy least_squares
+    max_nfev 80 — `/root/reference/bin/extractBA:32-52`, spec
+    `algorithm.py:455-527`); here the same state is optimized by the
+    Schur-complement LM solver over `batch` vmapped windows per
+    condition.  Initial state follows `extractMotion(resetMotion=True)`:
+    already-estimated poses keep ground truth, the NEWEST pose resets to
+    the previous frame's (zero motion), and landmarks re-triangulate
+    from the noisy anchor-frame measurements."""
+    from front_end_tpu.ba import schur
+
+    cat = sim.motion_category(speed)
+
+    def one(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        ww = sim.sample_window_world(k1, rig, cat, n_points, window)
+        if noise_px > 0:
+            ww = sim.window_add_noise(k2, ww, noise_px)
+        if outlier_frac > 0:
+            ww, _ = sim.window_add_outliers(k3, ww, rig, outlier_frac)
+        poses0 = ww.poses.at[-1].set(ww.poses[-2])     # reset newest
+        X0 = rig.triangulate(ww.meas[:, 0, :2], ww.meas[:, 0, 2:])
+        res = schur.ba_solve(poses0, X0, ww.meas,
+                             ww.vis & ww.valid[:, None], rig,
+                             iters=iters, huber_px=huber_px)
+        # newest-pose relative motion vs ground truth
+        rel_est = res.poses[-1] @ se3.invert_homog(res.poses[-2])
+        rel_gt = ww.poses[-1] @ se3.invert_homog(ww.poses[-2])
+        ang = se3.rotation_geodesic_error(rel_est[:3, :3], rel_gt[:3, :3])
+        terr = jnp.linalg.norm(rel_est[:3, 3] - rel_gt[:3, 3])
+        return (jnp.degrees(ang), terr,
+                jnp.sum(ww.vis & ww.valid[:, None]), res.rms_px)
+
+    keys = jax.random.split(key, batch)
+    ang, terr, n_obs, rms = jax.vmap(one)(keys)
+    return {"rot_err_deg": np.asarray(ang),
+            "trans_err_m": np.asarray(terr),
+            "n_inliers": np.asarray(n_obs),
+            "window_rms_px": np.asarray(rms)}
 
 
 def run_condition(key, method: str, rig: StereoRig, speed: str,
@@ -109,9 +156,14 @@ def run_study(out_dir: str, *, methods=EXTRACTORS, speeds=SPEEDS,
                             continue
                         key = jax.random.fold_in(
                             jax.random.PRNGKey(seed), hash(name) % (2**31))
-                        res = run_condition(key, method, rig, speed,
-                                            int(n_points), noise, frac,
-                                            batch=batch)
+                        if method == "WindowBA":
+                            res = run_window_condition(
+                                key, rig, speed, int(n_points), noise,
+                                frac, batch=batch)
+                        else:
+                            res = run_condition(key, method, rig, speed,
+                                                int(n_points), noise, frac,
+                                                batch=batch)
                         np.savez(path, **res)
                         ran += 1
                         if verbose:

@@ -135,14 +135,19 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         kr = kr.replace(angle=angr)
         dl = orb_mod.describe(sml, kl.xy, angl, cfg.desc_bytes)
         dr = orb_mod.describe(smr, kr.xy, angr, cfg.desc_bytes)
+    elif cfg.descriptor == "brief_pallas" and jax.default_backend() == "tpu":
+        from front_end_tpu.ops.pallas import brief_kernel
+        dl, dr = brief_kernel.describe_pair_pallas(
+            sml, smr, kl.xy, kr.xy, cfg.desc_bytes)
     else:
-        if jax.default_backend() == "tpu":
-            from front_end_tpu.ops.pallas import brief_kernel
-            dl, dr = brief_kernel.describe_pair_pallas(
-                sml, smr, kl.xy, kr.xy, cfg.desc_bytes)
-        else:
-            dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
-            dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
+        # Production BRIEF path: dense pad-once bitplanes.  Measured on
+        # the KITTI-res pair (bench_brief.py, TPU v5e): dense XLA 2.4 ms
+        # with the box smooth fused almost free (2.45 ms total) vs the
+        # Pallas roll kernel at 3.6 ms + 1.1 ms separate smooth — XLA's
+        # fusion wins here, so Pallas stays opt-in (descriptor=
+        # "brief_pallas").
+        dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
+        dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
 
     m = match_mod.stereo_match_live(
         kl, dl, kr, dr, epi_threshold=cfg.epi_threshold,

@@ -197,3 +197,90 @@ def sample_worlds(key, rig: StereoRig, cat: MotionCategory, n: int,
     500-motions-per-condition file grid (`bin/extractMotion:40-117`)."""
     keys = jax.random.split(key, batch)
     return jax.vmap(lambda k: sample_world(k, rig, cat, n, **kw))(keys)
+
+
+class WindowWorld(NamedTuple):
+    """A W-frame sliding-window ground-truth problem — the state the
+    reference's full-window BA optimizes (`slidingWindow` spec,
+    `/root/reference/src/front_end/algorithm.py:455-527`: X = poses +
+    4N landmark coords, M = 4F×N measurement matrix).
+
+    Frame 0 is the world frame; `poses[w]` is camera_from_world of frame
+    w (poses[0] = I).  `meas` follows the BA layout [ul,vl,ur,vr]."""
+    poses: jnp.ndarray        # (W, 4, 4) ground-truth extrinsics
+    X: jnp.ndarray            # (N, 3) landmarks in frame-0/world frame
+    meas: jnp.ndarray         # (N, W, 4) pixel measurements
+    vis: jnp.ndarray          # (N, W) bool — in-frustum at frame w
+    valid: jnp.ndarray        # (N,) bool — real landmark row
+
+
+def sample_window_world(key, rig: StereoRig, cat: MotionCategory, n: int,
+                        window: int = 3, oversample: int = 48
+                        ) -> WindowWorld:
+    """W-frame analogue of `sample_world`: one landmark cloud observed
+    from a chain of `window` poses whose per-step motion follows the
+    category's noisy-rotation/dominant-translation model
+    (`~simulation.py:108-131`).  Landmarks must be visible in frame 0;
+    per-frame visibility thereafter is carried in `vis` (the reference's
+    window spec assumes always-tracked features — `algorithm.py:512` "no
+    masking available" — the mask here is the static-shape upgrade)."""
+    km, kp = jax.random.split(key)
+    Hts = []
+    T = jnp.eye(4)
+    poses = [T]
+    for w in range(window - 1):
+        km, k = jax.random.split(km)
+        _, Ht = sample_motion(k, cat)
+        T = Ht @ T
+        poses.append(T)
+    poses = jnp.stack(poses)                                 # (W,4,4)
+
+    m = oversample * n
+    kx, ky, kz = jax.random.split(kp, 3)
+    X = jnp.stack([jax.random.normal(kx, (m,)) * 5.0,
+                   jax.random.normal(ky, (m,)) * 5.0,
+                   jax.random.normal(kz, (m,)) * 4.0], -1)   # (m,3)
+
+    Xw = jax.vmap(lambda Tw: se3.transform_points(Tw, X))(poses)  # (W,m,3)
+    meas = jnp.swapaxes(jax.vmap(rig.project4)(Xw), 0, 1)    # (m,W,4)
+    vis = jnp.swapaxes(jax.vmap(rig.in_view)(Xw), 0, 1)      # (m,W)
+
+    # rows visible in every frame first (the reference's always-tracked
+    # assumption), then frame-0-visible rows
+    ok0 = vis[:, 0]
+    ok_all = jnp.all(vis, axis=1)
+    order = jnp.argsort(~ok_all * 2 + ~ok0 * 2, stable=True)[:n]
+    return WindowWorld(poses=poses, X=X[order], meas=meas[order],
+                       vis=vis[order] & ok0[order, None],
+                       valid=ok0[order])
+
+
+def window_add_noise(key, ww: WindowWorld, sigma) -> WindowWorld:
+    """Per-observation pixel noise, same model as `add_gaussian_noise`
+    (x += N(0, sigma), y += U(0,1)) applied to every frame's measurement."""
+    kx, ky = jax.random.split(key)
+    n, W, _ = ww.meas.shape
+    dx = jax.random.normal(kx, (n, W, 2)) * sigma
+    dy = jax.random.uniform(ky, (n, W, 2))
+    noise = jnp.stack([dx[..., 0], dy[..., 0], dx[..., 1], dy[..., 1]], -1)
+    return ww._replace(meas=ww.meas + noise)
+
+
+def window_add_outliers(key, ww: WindowWorld, rig: StereoRig, fraction):
+    """Replace a `fraction` of non-anchor observations (frames >= 1) with
+    uniform image points >= MIN_OUTLIER_SHIFT px off, per the reference's
+    outlier model (`~simulation.py:343-366`).  Returns (ww', mask (N,W))."""
+    n, W, _ = ww.meas.shape
+    ksel, kpt, krx = jax.random.split(key, 3)
+    is_out = (jax.random.uniform(ksel, (n, W)) < fraction
+              ).at[:, 0].set(False)
+    cand = jax.random.uniform(kpt, (n, W, 2)) * jnp.array(
+        [rig.width, rig.height], jnp.float32)
+    shift = jnp.maximum(jnp.abs(cand - ww.meas[..., :2]),
+                        MIN_OUTLIER_SHIFT + 1.0)
+    pt = ww.meas[..., :2] + jnp.sign(cand - ww.meas[..., :2] + 0.5) * shift
+    pt = jnp.clip(pt, 0.0, jnp.array([rig.width - 1.0, rig.height - 1.0]))
+    rx = jax.random.uniform(krx, (n, W)) * rig.width
+    out_meas = jnp.stack([pt[..., 0], pt[..., 1], rx, pt[..., 1]], -1)
+    meas = jnp.where(is_out[..., None], out_meas, ww.meas)
+    return ww._replace(meas=meas), is_out & ww.vis
