@@ -25,6 +25,7 @@ from front_end_tpu.geometry import se3
 from front_end_tpu.geometry.camera import StereoRig, bumblebee_rig
 from front_end_tpu.motion import essential, lm, ransac
 from front_end_tpu.sim import synthetic as sim
+from front_end_tpu.utils.precision import f32_precision
 
 SPEEDS = ("slow", "medium", "fast")
 EXTRACTORS = ("PCL", "Nister", "BA", "WindowBA")
@@ -63,6 +64,7 @@ def _extract(method, key, w, rig, threshold):
     raise ValueError(method)
 
 
+@f32_precision
 def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
                          noise_px: float, outlier_frac: float, *,
                          window: int = 3, batch: int = 64,
@@ -110,6 +112,7 @@ def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
             "window_rms_px": np.asarray(rms)}
 
 
+@f32_precision
 def run_condition(key, method: str, rig: StereoRig, speed: str,
                   n_points: int, noise_px: float, outlier_frac: float,
                   batch: int = 64, threshold: float = 0.08):

@@ -176,6 +176,13 @@ def cmd_vo(args):
         rig = seq.rig
         frame_iter = seq.frames()
         gt = seq.poses
+    elif args.euroc:
+        from front_end_tpu.io.euroc import EurocSequence
+        seq = EurocSequence(args.euroc, args.seq, max_frames=args.frames,
+                            rectify=True)
+        rig = seq.rig
+        frame_iter = seq.frames()
+        gt = None
     else:
         from bench import make_sequence
         from front_end_tpu.geometry.camera import kitti_rig
@@ -231,6 +238,31 @@ def cmd_vo(args):
         print(f"trajectory -> {args.out}")
 
 
+def cmd_report(args):
+    """Render study + live plots into PNG figures and REPORT.md — the
+    `bin/result_ONE..FOUR` and operating-curve capability."""
+    from front_end_tpu.analysis import report as report_mod
+
+    frames = None
+    if args.kitti:
+        from front_end_tpu.io.kitti import KittiSequence
+        seq = KittiSequence(args.kitti, args.seq, max_frames=args.frames)
+        pairs = list(seq.frames())
+        frames = (np.stack([p[0] for p in pairs]),
+                  np.stack([p[1] for p in pairs]))
+    path = report_mod.generate_report(
+        args.study, args.out, frames=frames,
+        with_timings=not args.no_timings, bench_json=args.bench_json)
+    print(f"report -> {path}")
+
+
+def cmd_explore(args):
+    from front_end_tpu.analysis import explore as explore_mod
+    explore_mod.explore_features(
+        family=args.family, out=args.out, image=args.image,
+        n_frames=args.frames, top=args.top)
+
+
 def cmd_bench(args):
     import bench
     bench.main()
@@ -278,6 +310,8 @@ def main(argv=None):
 
     v = sub.add_parser("vo")
     v.add_argument("--kitti", default=None, help="KITTI odometry root")
+    v.add_argument("--euroc", default=None,
+                   help="EuRoC root (rectified on the fly)")
     v.add_argument("--seq", default="00")
     v.add_argument("--frames", type=int, default=None)
     v.add_argument("--set-point", type=int, default=2000)
@@ -288,6 +322,25 @@ def main(argv=None):
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
     v.set_defaults(fn=cmd_vo)
+
+    rp = sub.add_parser("report")
+    rp.add_argument("--study", default=None,
+                    help="extract-motion output dir (operating curves)")
+    rp.add_argument("--out", default="/tmp/fe_tpu_report")
+    rp.add_argument("--kitti", default=None)
+    rp.add_argument("--seq", default="00")
+    rp.add_argument("--frames", type=int, default=12)
+    rp.add_argument("--no-timings", action="store_true")
+    rp.add_argument("--bench-json", default=None)
+    rp.set_defaults(fn=cmd_report)
+
+    x = sub.add_parser("explore")
+    x.add_argument("--family", default="FAST")
+    x.add_argument("--out", default="/tmp/fe_tpu_explore")
+    x.add_argument("--image", default=None)
+    x.add_argument("--frames", type=int, default=4)
+    x.add_argument("--top", type=int, default=12)
+    x.set_defaults(fn=cmd_explore)
 
     b = sub.add_parser("bench")
     b.set_defaults(fn=cmd_bench)

@@ -119,7 +119,7 @@ def detector_table():
 
 
 FREAK_PARAMS = {"pattern_scale": [0.5, 1.0, 1.5, 2.0]}
-ORB_DESC_PARAMS = {"bytes": [32]}
+ORB_DESC_PARAMS = {"bytes": [32], "wta_k": [2, 3, 4]}   # HAMMING2 for 3/4
 
 
 def freak_combinations():
@@ -127,7 +127,8 @@ def freak_combinations():
 
 
 def orb_descriptor_combinations():
-    return _combos("ORB", ORB_DESC_PARAMS, ["bytes"], "NORM_HAMMING")
+    return _combos("ORB", ORB_DESC_PARAMS, ["bytes", "wta_k"],
+                   "NORM_HAMMING")
 
 
 @functools.lru_cache(maxsize=1)
@@ -166,11 +167,14 @@ def make_detector(settings) -> tuple[Callable | None, bool]:
                 nms=bool(p["non_maximum_suppression"]))
         return detect, True
     if name == "ORB":
-        from front_end_tpu.ops import fast as fast_mod
+        from front_end_tpu.ops import orb as orb_mod
 
         def detect(img):
-            return fast_mod.detect_dense(
-                img, float(p["fast_threshold"]), fast_type="9_16", nms=True)
+            return orb_mod.detect_dense_pyramid(
+                img, n_levels=int(p.get("n_levels", 4)),
+                scale_factor=float(p.get("scale_factor", 1.2)),
+                fast_threshold=float(p["fast_threshold"]),
+                edge_threshold=int(p.get("edge_threshold", 31)))
         return detect, True
     if name == "SURF":
         try:
@@ -254,14 +258,22 @@ def make_descriptor(settings) -> tuple[Callable | None, bool]:
             sm = brief_mod.smooth(jnp.asarray(img, jnp.float32))
             ang = orb_mod.intensity_centroid_angle(sm, xy)
             return orb_mod.describe(sm, xy, ang,
-                                    n_bytes=int(p.get("bytes", 32)))
+                                    n_bytes=int(p.get("bytes", 32)),
+                                    wta_k=int(p.get("wta_k", 2)))
         return describe, True
     return None, False
 
 
 def matcher_norm(settings) -> str:
-    """The reference's `getMatcher` capability (`features.py:464-467`):
-    NORM_HAMMING -> MXU hamming_matrix; NORM_L2 -> l2sq_matrix."""
+    """The reference's `getMatcher` capability (`features.py:464-467`)
+    plus `StereoCamera.cpp:473-517`'s WTA_K-driven norm selection:
+    NORM_HAMMING -> MXU hamming_matrix; NORM_L2 -> l2sq_matrix;
+    NORM_HAMMING2 (ORB WTA_K 3/4) -> the same hamming matmul over the
+    one-hot group codes, which equals 2x the HAMMING2 distance
+    (order-identical; see ops/orb.py module doc)."""
+    p = settings.get("Param", {})
+    if settings.get("Name") == "ORB" and int(p.get("wta_k", 2)) > 2:
+        return "NORM_HAMMING2"
     return settings.get("NormType", "NORM_HAMMING")
 
 

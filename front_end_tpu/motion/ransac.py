@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from front_end_tpu.motion import kabsch
+from front_end_tpu.utils.precision import f32_precision
 
 
 class RansacResult(NamedTuple):
@@ -120,6 +121,7 @@ def fit_rigid_minimal(Pa, Pb):
     return kabsch.se3.create_homog(R, t)
 
 
+@f32_precision
 def rigid_ransac(key, Xa, Xb, valid, *, n_hyps: int = 512,
                  threshold: float = 0.05) -> RansacResult:
     """3-point rigid 3D-3D RANSAC — the reference's `svdRANSAC` /

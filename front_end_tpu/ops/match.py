@@ -138,11 +138,15 @@ def stereo_match_live(kl: Keypoints, dl: Descriptors,
 
 def stereo_match_knn(kl: Keypoints, dl: Descriptors,
                      kr: Keypoints, dr: Descriptors,
-                     *, epi_threshold: float = 1.0, ratio: float = 0.8
-                     ) -> Matches:
+                     *, epi_threshold: float = 1.0, ratio: float = 0.8,
+                     norm: str = "hamming") -> Matches:
     """The StereoCamera recipe (`StereoCamera.cpp:182-264`): epipolar mask,
-    KNN(2) + Lowe 0.8, per-train uniqueness."""
-    dist = hamming_matrix(dl, dr) + validity_mask(kl.valid, kr.valid)
+    KNN(2) + Lowe 0.8, per-train uniqueness.  `norm` selects the distance
+    the way the reference's `getMatcher` does (`features.py:464-467`):
+    "hamming" for binary descriptors, "l2" for SURF/SIFT floats."""
+    dmat = (jnp.sqrt(l2sq_matrix(dl.bits, dr.bits)) if norm == "l2"
+            else hamming_matrix(dl, dr))   # sqrt: Lowe ratio is linear
+    dist = dmat + validity_mask(kl.valid, kr.valid)
     dist = dist + epipolar_mask(kl, kr, epi_threshold)
     m = knn_lowe(dist, ratio)
     return unique_per_train(m, kr.capacity)

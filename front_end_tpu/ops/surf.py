@@ -77,9 +77,62 @@ class SurfDetections(NamedTuple):
                                  # surf.cpp:381 & gpu.hpp keypointsRatio)
 
 
+def _gather9(layer, ys, xs, H, W):
+    """3×3 neighborhood values at integer centres: (N, 3, 3)."""
+    flat = layer.reshape(-1)
+    dy = jnp.arange(-1, 2)
+    dx = jnp.arange(-1, 2)
+    yy = jnp.clip(ys[:, None, None] + dy[None, :, None], 0, H - 1)
+    xx = jnp.clip(xs[:, None, None] + dx[None, None, :], 0, W - 1)
+    return flat[yy * W + xx]
+
+
+def interpolate_keypoints(d_lo, d_mid, d_hi, ys, xs, size, step):
+    """Batched 3D quadratic keypoint interpolation — the
+    `interpolateKeypoint` stage (`/root/reference/src/surf.cpp:229-259`):
+    fit det(H) around each maximum over (x, y, scale), offset = −H⁻¹g,
+    accept when every |offset| < 1 (OpenCV discards divergent fits).
+
+    Returns (x_ref, y_ref, size_ref, ok) — all (N,) floats/bool.  `step`
+    is the filter-size spacing between adjacent layers (the scale unit).
+    """
+    H, W = d_mid.shape
+    v = jnp.stack([_gather9(d_lo, ys, xs, H, W),
+                   _gather9(d_mid, ys, xs, H, W),
+                   _gather9(d_hi, ys, xs, H, W)], 1)   # (N, 3s, 3y, 3x)
+
+    gx = (v[:, 1, 1, 2] - v[:, 1, 1, 0]) * 0.5
+    gy = (v[:, 1, 2, 1] - v[:, 1, 0, 1]) * 0.5
+    gs = (v[:, 2, 1, 1] - v[:, 0, 1, 1]) * 0.5
+    c = v[:, 1, 1, 1]
+    dxx = v[:, 1, 1, 2] + v[:, 1, 1, 0] - 2 * c
+    dyy = v[:, 1, 2, 1] + v[:, 1, 0, 1] - 2 * c
+    dss = v[:, 2, 1, 1] + v[:, 0, 1, 1] - 2 * c
+    dxy = (v[:, 1, 2, 2] - v[:, 1, 2, 0]
+           - v[:, 1, 0, 2] + v[:, 1, 0, 0]) * 0.25
+    dxs = (v[:, 2, 1, 2] - v[:, 2, 1, 0]
+           - v[:, 0, 1, 2] + v[:, 0, 1, 0]) * 0.25
+    dys = (v[:, 2, 2, 1] - v[:, 2, 0, 1]
+           - v[:, 0, 2, 1] + v[:, 0, 0, 1]) * 0.25
+
+    Hm = jnp.stack([jnp.stack([dxx, dxy, dxs], -1),
+                    jnp.stack([dxy, dyy, dys], -1),
+                    jnp.stack([dxs, dys, dss], -1)], -2)     # (N,3,3)
+    g = jnp.stack([gx, gy, gs], -1)                          # (N,3)
+    # damped solve keeps singular fits finite; they fail the |o|<1 gate
+    eye = jnp.eye(3) * 1e-12
+    off = -jnp.linalg.solve(Hm + eye, g[..., None])[..., 0]  # (N,3)
+    finite = jnp.all(jnp.isfinite(off), -1)
+    ok = finite & jnp.all(jnp.abs(off) < 1.0, -1)
+    x_ref = xs.astype(jnp.float32) + jnp.where(ok, off[:, 0], 0.0)
+    y_ref = ys.astype(jnp.float32) + jnp.where(ok, off[:, 1], 0.0)
+    size_ref = size + jnp.where(ok, off[:, 2], 0.0) * step
+    return x_ref, y_ref, size_ref, ok
+
+
 def detect(img, *, hessian_threshold: float = 100.0, n_octaves: int = 3,
-           n_octave_layers: int = 2, max_keypoints: int = 1024
-           ) -> SurfDetections:
+           n_octave_layers: int = 2, max_keypoints: int = 1024,
+           subpix: bool = True) -> SurfDetections:
     """Fast-Hessian keypoints on one (H, W) image.
 
     n_octave_layers = middle layers per octave (OpenCV param); total
@@ -99,7 +152,7 @@ def detect(img, *, hessian_threshold: float = 100.0, n_octaves: int = 3,
             all_det[size] = hessian_layer(ii, size)
         return all_det[size]
 
-    cand = []       # (det_mid, size_mid, det_lo, det_hi, trace_mid)
+    cand = []       # (det_mid, size_mid, det_lo, det_hi, trace_mid, step)
     for o in range(n_octaves):
         # classic SURF filter-size table: o=0: 9,15,21,27; o=1: 15,27,39,
         # 51; o=2: 27,51,75,99 — first = 3*(2^(o+1)+1), step = 6*2^o.
@@ -110,13 +163,13 @@ def detect(img, *, hessian_threshold: float = 100.0, n_octaves: int = 3,
             d_lo, _ = det_for(sizes[j - 1])
             d_mid, t_mid = det_for(sizes[j])
             d_hi, _ = det_for(sizes[j + 1])
-            cand.append((d_mid, sizes[j], d_lo, d_hi, t_mid))
+            cand.append((d_mid, sizes[j], d_lo, d_hi, t_mid, step))
 
     # 3x3x3 maxima per candidate layer
     from front_end_tpu.ops.image import shift2d
 
     kp_chunks = []
-    for d_mid, size, d_lo, d_hi, t_mid in cand:
+    for d_mid, size, d_lo, d_hi, t_mid, step in cand:
         neigh = jnp.full_like(d_mid, -jnp.inf)
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
@@ -131,18 +184,29 @@ def detect(img, *, hessian_threshold: float = 100.0, n_octaves: int = 3,
                     & (xs >= margin) & (xs < W - margin))
         is_max = (d_mid > hessian_threshold) & (d_mid > neigh) & interior
         score = jnp.where(is_max, d_mid, 0.0)
-        kp_chunks.append((score, size, t_mid))
+        kp_chunks.append((score, size, t_mid, d_lo, d_mid, d_hi, step))
 
     k_per_layer = max(max_keypoints // max(len(kp_chunks), 1), 16)
     xs_all, ys_all, sc_all, sz_all, lap_all = [], [], [], [], []
-    for score, size, t_mid in kp_chunks:
+    for score, size, t_mid, d_lo, d_mid, d_hi, step in kp_chunks:
         v, idx = jax.lax.top_k(score.reshape(-1), k_per_layer)
         yy = idx // W
         xx = idx % W
-        xs_all.append(xx)
-        ys_all.append(yy)
+        szf = jnp.full((k_per_layer,), size, jnp.float32)
+        if subpix:
+            # 3D quadratic refinement (surf.cpp:229-259); divergent fits
+            # are discarded like OpenCV's interpolateKeypoint==false
+            xr, yr, sr, ok = interpolate_keypoints(
+                d_lo, d_mid, d_hi, yy, xx, szf, float(step))
+            v = jnp.where(ok, v, 0.0)
+            xs_all.append(xr)
+            ys_all.append(yr)
+            sz_all.append(sr)
+        else:
+            xs_all.append(xx.astype(jnp.float32))
+            ys_all.append(yy.astype(jnp.float32))
+            sz_all.append(szf)
         sc_all.append(v)
-        sz_all.append(jnp.full((k_per_layer,), size, jnp.float32))
         lap_all.append(jnp.sign(t_mid.reshape(-1)[idx]))
 
     xs = jnp.concatenate(xs_all)
@@ -167,7 +231,7 @@ def detect_dense(img, *, hessian_threshold: float = 100.0,
     middle layers, NMS'd; corners = map > 0."""
     det = detect(img, hessian_threshold=hessian_threshold,
                  n_octaves=n_octaves, n_octave_layers=n_octave_layers,
-                 max_keypoints=1024)
+                 max_keypoints=1024, subpix=False)
     H, W = jnp.asarray(img).shape
     smap = jnp.zeros((H, W), jnp.float32)
     yy = det.keypoints.xy[:, 1].astype(jnp.int32)

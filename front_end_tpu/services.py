@@ -40,6 +40,21 @@ def keypoint_stats(score_map) -> dict:
             "Y": (float(ys.mean()), float(ys.std()))}
 
 
+def _mask_stats(m):
+    """count + mean/std of x and y over a boolean corner mask."""
+    H, W = m.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    mf = m.astype(jnp.float32)
+    n = jnp.sum(mf)
+    d = jnp.maximum(n, 1.0)
+    mx = jnp.sum(xs * mf) / d
+    my = jnp.sum(ys * mf) / d
+    sx = jnp.sqrt(jnp.maximum(jnp.sum(xs * xs * mf) / d - mx * mx, 0.0))
+    sy = jnp.sqrt(jnp.maximum(jnp.sum(ys * ys * mf) / d - my * my, 0.0))
+    return n, mx, sx, my, sy
+
+
 @jax.jit
 def _map_stats_batch(smap, thresholds):
     """Per-threshold keypoint statistics from ONE response map.
@@ -47,21 +62,30 @@ def _map_stats_batch(smap, thresholds):
     smap: (H, W); thresholds: (K,).  Returns count, mean/std of x and y
     for each threshold — all on-device, no per-ID host transfer.
     """
-    H, W = smap.shape
-    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    return jax.vmap(lambda t: _mask_stats(smap > t))(
+        jnp.asarray(thresholds, jnp.float32))
 
-    def one(t):
-        m = (smap > t).astype(jnp.float32)
-        n = jnp.sum(m)
-        d = jnp.maximum(n, 1.0)
-        mx = jnp.sum(xs * m) / d
-        my = jnp.sum(ys * m) / d
-        sx = jnp.sqrt(jnp.maximum(jnp.sum(xs * xs * m) / d - mx * mx, 0.0))
-        sy = jnp.sqrt(jnp.maximum(jnp.sum(ys * ys * m) / d - my * my, 0.0))
-        return n, mx, sx, my, sy
 
-    return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32))
+@jax.jit
+def _fast_stats_batch(detect_map, score_map, thresholds, nms_flags):
+    """Per-threshold cv2-exact FAST statistics from the two shared maps.
+
+    cv2's NMS runs on the SPARSE thresholded response map (a neighbour
+    that fails the threshold cannot suppress), and for 7_12/5_8 the
+    detection gate (quick-rejection margins) differs from the response —
+    so NMS does NOT commute with thresholding and must run per threshold.
+    It is still one compiled program per circle type: the margin maps are
+    computed once and the (threshold, nms) members vmap over cheap
+    shift/compare passes.
+    """
+    def one(t, use_nms):
+        corner = detect_map > t
+        s = jnp.where(corner, score_map, 0.0)
+        surviving = jnp.where(use_nms, fast_mod.nms_cv2(s) > 0, corner)
+        return _mask_stats(surviving)
+
+    return jax.vmap(one)(jnp.asarray(thresholds, jnp.float32),
+                         jnp.asarray(nms_flags))
 
 
 # jitted response-map builders cached per structural configuration:
@@ -83,16 +107,69 @@ def _structural_response_fn(settings):
     diffusivity, circle type) key separate compilations.
     """
     name, p = settings["Name"], settings["Param"]
-    if name in ("FAST", "ORB"):
+    if name == "FAST":
+        # ONE (detect, score) margin-map pair serves every (threshold,
+        # nms) member of the circle type; per-member NMS happens inside
+        # the vmapped stats program (_fast_stats_batch).
         d_type = p.get("d_type", "9_16")
         nms = bool(p.get("non_maximum_suppression", True))
-        key = ("FAST", d_type, nms)
+        key = ("FAST2", d_type)
 
         def fn(img):
-            s = fast_mod.fast_score_map(img, d_type)
-            return fast_mod.nms3x3(s) if nms else s
+            return jnp.stack(fast_mod.fast_margins(img, d_type))
         thr = float(p.get("threshold", p.get("fast_threshold", 15)))
-        return key, fn, thr
+        return key, fn, (thr, nms)
+    if name == "ORB":
+        # pyramid structure keys the compilation; the FAST threshold only
+        # gates the margin-score response, so every fast_threshold ID in a
+        # (n_levels, scale_factor, edge_threshold) group shares one map.
+        from front_end_tpu.ops import orb as orb_mod
+        nl = int(p.get("n_levels", 4))
+        sf = float(p.get("scale_factor", 1.2))
+        et = int(p.get("edge_threshold", 31))
+        key = ("ORBPYR", nl, sf, et)
+
+        def fn(img):
+            return orb_mod.detect_dense_pyramid(
+                img, n_levels=nl, scale_factor=sf, fast_threshold=1.0,
+                edge_threshold=et)
+        return key, fn, float(p.get("fast_threshold", 20))
+    if name == "BRISK":
+        # BRISK scores are per-octave FAST margins -> exact at any t
+        from front_end_tpu.ops import brisk as brisk_mod
+        no = max(1, int(p.get("n_octaves", 3)))
+        key = ("BRISK", no)
+
+        def fn(img):
+            return brisk_mod.detect_dense(img, threshold=1.0, n_octaves=no)
+        return key, fn, float(p.get("threshold", 30))
+    if name == "AKAZE":
+        # Hessian-det response; threshold only gates (akaze.py:293), the
+        # spatial/scale suppression is threshold-independent -> exact
+        from front_end_tpu.ops import akaze as akaze_mod
+        no = int(p.get("n_octaves", 4))
+        ns = int(p.get("n_octave_layers", p.get("n_sublevels", 4)))
+        diff = str(p.get("diffusivity", "pm_g2"))
+        key = ("AKAZE", no, ns, diff)
+
+        def fn(img):
+            return akaze_mod.detect_dense(img, threshold=1e-8,
+                                          n_octaves=no, n_sublevels=ns,
+                                          diffusivity=diff)
+        return key, fn, float(p.get("threshold", 1e-3))
+    if name == "SURF":
+        # response = NMS'd det(H) maxima; hessian_threshold only gates.
+        # Exact up to the static top-k keypoint capacity (1024), which a
+        # tiny build threshold shares across every ID in the group.
+        from front_end_tpu.ops import surf as surf_mod
+        no = int(p.get("n_octaves", 3))
+        nl_ = int(p.get("n_octave_layers", 2))
+        key = ("SURF", no, nl_)
+
+        def fn(img):
+            return surf_mod.detect_dense(img, hessian_threshold=1e-6,
+                                         n_octaves=no, n_octave_layers=nl_)
+        return key, fn, float(p.get("hessian_threshold", 100))
     return None, None, None
 
 
@@ -137,9 +214,15 @@ def single_image_detection(det_ids, left, right, return_kp: bool = False):
         t0 = time.perf_counter()
         sl = jfn(left)
         sr = jfn(right)
-        thrs = jnp.asarray([t for _, t in members], jnp.float32)
-        stats_l = _map_stats_batch(sl, thrs)
-        stats_r = _map_stats_batch(sr, thrs)
+        if key[0] == "FAST2":
+            thrs = [t for _, (t, _n) in members]
+            nmsf = [n for _, (_t, n) in members]
+            stats_l = _fast_stats_batch(sl[0], sl[1], thrs, nmsf)
+            stats_r = _fast_stats_batch(sr[0], sr[1], thrs, nmsf)
+        else:
+            thrs = jnp.asarray([t for _, t in members], jnp.float32)
+            stats_l = _map_stats_batch(sl, thrs)
+            stats_r = _map_stats_batch(sr, thrs)
         jax.block_until_ready((stats_l, stats_r))
         dt = (time.perf_counter() - t0) / max(len(members), 1)
         nl, mxl, sxl, myl, syl = (np.asarray(a) for a in stats_l)
@@ -156,10 +239,22 @@ def single_image_detection(det_ids, left, right, return_kp: bool = False):
                                   "Y": (float(myr[i]), float(syr[i]))},
             }
             if return_kp:
-                rec["left_score_map"] = np.where(
-                    np.asarray(sl) > thr, np.asarray(sl), 0.0)
-                rec["right_score_map"] = np.where(
-                    np.asarray(sr) > thr, np.asarray(sr), 0.0)
+                if key[0] == "FAST2":
+                    t_i, nms_i = thr
+                    sml = np.where(np.asarray(sl[0]) > t_i,
+                                   np.asarray(sl[1]), 0.0)
+                    smr = np.where(np.asarray(sr[0]) > t_i,
+                                   np.asarray(sr[1]), 0.0)
+                    if nms_i:
+                        sml = np.asarray(fast_mod.nms_cv2(sml))
+                        smr = np.asarray(fast_mod.nms_cv2(smr))
+                    rec["left_score_map"] = sml
+                    rec["right_score_map"] = smr
+                else:
+                    rec["left_score_map"] = np.where(
+                        np.asarray(sl) > thr, np.asarray(sl), 0.0)
+                    rec["right_score_map"] = np.where(
+                        np.asarray(sr) > thr, np.asarray(sr), 0.0)
             records[id(det_id) if not isinstance(det_id, str) else det_id] \
                 = rec
 

@@ -36,6 +36,7 @@ from flax import struct
 
 from front_end_tpu.geometry import se3
 from front_end_tpu.geometry.camera import StereoRig
+from front_end_tpu.utils.precision import f32_precision
 
 NOISE_LEVELS = (0.25, 0.5, 0.75, 1.0, 1.5, 2.0, 2.5)       # px sigma
 OUTLIER_LEVELS = (0.05, 0.10, 0.15, 0.20, 0.25)            # fraction
@@ -108,6 +109,7 @@ def _validity(rig: StereoRig, Xa, Xb, uva, uvb):
             & (Xa[..., 2] > 0) & (Xb[..., 2] > 0))
 
 
+@f32_precision
 def sample_world(key, rig: StereoRig, cat: MotionCategory, n: int,
                  oversample: int = 48) -> StereoWorld:
     """Generate N valid in-frustum stereo landmarks under a random motion.
@@ -139,6 +141,7 @@ def sample_world(key, rig: StereoRig, cat: MotionCategory, n: int,
                        uva=uva[order], uvb=uvb[order], valid=valid)
 
 
+@f32_precision
 def add_gaussian_noise(key, world: StereoWorld, rig: StereoRig,
                        sigma) -> StereoWorld:
     """Reference noise injector (`~simulation.py:314-341`): per projection
@@ -159,6 +162,7 @@ def add_gaussian_noise(key, world: StereoWorld, rig: StereoRig,
     return world._replace(uva=uva, uvb=uvb, Xa=Xa, Xb=Xb)
 
 
+@f32_precision
 def add_outliers(key, world: StereoWorld, rig: StereoRig,
                  fraction) -> tuple[StereoWorld, jnp.ndarray]:
     """Reference outlier injector (`~simulation.py:343-366`): for a random
@@ -191,6 +195,7 @@ def add_outliers(key, world: StereoWorld, rig: StereoRig,
     return world._replace(uvb=uvb, Xb=Xb), is_out & world.valid
 
 
+@f32_precision
 def sample_worlds(key, rig: StereoRig, cat: MotionCategory, n: int,
                   batch: int, **kw):
     """vmapped batch of independent worlds — replaces the reference's
@@ -214,6 +219,7 @@ class WindowWorld(NamedTuple):
     valid: jnp.ndarray        # (N,) bool — real landmark row
 
 
+@f32_precision
 def sample_window_world(key, rig: StereoRig, cat: MotionCategory, n: int,
                         window: int = 3, oversample: int = 48
                         ) -> WindowWorld:
@@ -255,6 +261,7 @@ def sample_window_world(key, rig: StereoRig, cat: MotionCategory, n: int,
                        valid=ok0[order])
 
 
+@f32_precision
 def window_add_noise(key, ww: WindowWorld, sigma) -> WindowWorld:
     """Per-observation pixel noise, same model as `add_gaussian_noise`
     (x += N(0, sigma), y += U(0,1)) applied to every frame's measurement."""
@@ -266,6 +273,7 @@ def window_add_noise(key, ww: WindowWorld, sigma) -> WindowWorld:
     return ww._replace(meas=ww.meas + noise)
 
 
+@f32_precision
 def window_add_outliers(key, ww: WindowWorld, rig: StereoRig, fraction):
     """Replace a `fraction` of non-anchor observations (frames >= 1) with
     uniform image points >= MIN_OUTLIER_SHIFT px off, per the reference's

@@ -254,6 +254,65 @@ class TestDescriptors:
             jnp.asarray(img), jnp.array([[32.0, 32.0]]))[0])
         assert abs(ang) < 0.3
 
+    def test_orb_pyramid_levels_populated(self):
+        # sharp blocky texture: FAST needs contrast at 3 px radius, so a
+        # smooth blob image fires only on downsampled levels
+        r = np.random.RandomState(11)
+        img = np.kron(r.uniform(0, 255, (24, 32)),
+                      np.ones((8, 8))).astype(np.float32)
+        img += r.uniform(0, 2, img.shape).astype(np.float32)
+        det, desc = orb.detect_describe_pyramid(
+            jnp.asarray(img), n_levels=3, scale_factor=1.3,
+            fast_threshold=10.0, max_keypoints=384)
+        v = np.asarray(det.keypoints.valid)
+        assert v.sum() > 100
+        octs = np.bincount(np.asarray(det.octave)[v], minlength=3)
+        assert (octs > 0).all()          # every level contributes
+        # coords are level-0 pixels, inside the image
+        xy = np.asarray(det.keypoints.xy)[v]
+        assert (xy[:, 0] < 256).all() and (xy[:, 1] < 192).all()
+        # size grows with octave (31 * scale^level)
+        sz = np.asarray(det.size)[v]
+        o = np.asarray(det.octave)[v]
+        assert sz[o == 2].min() > sz[o == 0].max()
+
+    def test_orb_wta_k_one_hot_and_hamming2(self):
+        """WTA_K=3/4 descriptors are one-hot per group; the hamming
+        matmul over them returns exactly 2x the HAMMING2 distance."""
+        img = jnp.asarray(textured_image(seed=12))
+        sm = brief.smooth(img)
+        xy = jnp.asarray(np.random.RandomState(0)
+                         .uniform(60, 120, (16, 2)).astype(np.float32))
+        ang = jnp.zeros((16,))
+        for k in (3, 4):
+            d = orb.describe(sm, xy, ang, 32, wta_k=k)
+            groups = 128
+            assert d.bits.shape == (16, groups * k)
+            g = np.asarray(d.bits).reshape(16, groups, k)
+            np.testing.assert_array_equal(g.sum(-1), np.ones((16, groups)))
+            # engine distance == 2 * (# groups whose winner differs)
+            dist = np.asarray(match.hamming_matrix(d, d))
+            win = g.argmax(-1)
+            ham2 = (win[:, None, :] != win[None, :, :]).sum(-1)
+            np.testing.assert_allclose(dist, 2.0 * ham2, atol=1e-3)
+
+    def test_orb_dense_pyramid_threshold_monotone(self):
+        r = np.random.RandomState(13)
+        img = np.kron(r.uniform(0, 255, (20, 25)),
+                      np.ones((8, 8))).astype(np.float32)
+        img += r.uniform(0, 2, img.shape).astype(np.float32)
+        lo = np.asarray(orb.detect_dense_pyramid(
+            jnp.asarray(img), n_levels=2, fast_threshold=8.0))
+        hi = np.asarray(orb.detect_dense_pyramid(
+            jnp.asarray(img), n_levels=2, fast_threshold=30.0))
+        assert 0 < (hi > 0).sum() <= (lo > 0).sum()
+        # margin-score semantics for the sweep service: thresholding the
+        # low-threshold map at 30 reproduces the threshold-30 corner set
+        # (exact away from the top-k capacity cap, inactive here)
+        hi_set = set(zip(*np.nonzero(hi > 0)))
+        lo_at_30 = set(zip(*np.nonzero(lo > 30.0)))
+        assert hi_set == lo_at_30
+
 
 # ---------------------------------------------------------------- matching
 class TestMatching:

@@ -62,6 +62,31 @@ class TestDetect:
         s_big = float(db.size[0])
         assert s_big > s_small
 
+    def test_subpixel_recovers_offcenter_blob(self):
+        """interpolateKeypoint capability (surf.cpp:229-259): a blob at a
+        non-integer centre is localized sub-pixel, beating the integer
+        maximum."""
+        true = (64.4, 80.7)                     # (y, x)
+        img = blob_image(h=128, w=160, centers=((true[0], true[1], 8),))
+        ref = surf.detect(jnp.asarray(img), hessian_threshold=50.0,
+                          max_keypoints=16, subpix=True)
+        raw = surf.detect(jnp.asarray(img), hessian_threshold=50.0,
+                          max_keypoints=16, subpix=False)
+
+        def best_err(det):
+            v = np.array(det.keypoints.valid)
+            xy = np.array(det.keypoints.xy)[v]
+            d = np.hypot(xy[:, 0] - true[1], xy[:, 1] - true[0])
+            return d.min()
+
+        e_ref, e_raw = best_err(ref), best_err(raw)
+        assert e_ref < e_raw + 1e-6
+        assert e_ref < 0.35                     # sub-pixel localization
+        # refined coords are genuinely fractional
+        v = np.array(ref.keypoints.valid)
+        xy = np.array(ref.keypoints.xy)[v]
+        assert np.abs(xy - np.round(xy)).max() > 1e-3
+
     def test_jittable(self):
         img = jnp.asarray(blob_image())
         f = jax.jit(lambda im: surf.detect(im, max_keypoints=32))
