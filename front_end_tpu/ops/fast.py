@@ -81,6 +81,21 @@ def _quick_margin(d):
     return m
 
 
+def _is_batch_tracer(x) -> bool:
+    """True when `x` is being traced under vmap — the Pallas kernel's
+    ANY-memory-space input has no batching rule, so vmapped callers fall
+    back to the XLA stencil (detect_pair avoids this by stacking the
+    pair BEFORE the margin computation)."""
+    t = x
+    while isinstance(t, jax.core.Tracer):
+        if type(t).__name__ == "BatchTracer":
+            return True
+        t = getattr(t, "val", None)
+        if t is None:
+            return False
+    return False
+
+
 def _border_mask(shape):
     """cv2 processes rows/cols [3, size-4] for EVERY pattern size."""
     H, W = shape[-2:]
@@ -89,7 +104,7 @@ def _border_mask(shape):
     return (ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4)
 
 
-def fast_margins(img, fast_type: str = "9_16"):
+def fast_margins(img, fast_type: str = "9_16", *, backend: str = "auto"):
     """Dense FAST margins: (..., H, W) -> (detect_margin, score).
 
     score[p]   = max over contiguous arcs A of length K of
@@ -100,7 +115,19 @@ def fast_margins(img, fast_type: str = "9_16"):
                  cv2 corner at threshold t iff detect[p] > t.
     For 9_16 the gates are implied by any 9-run, so detect == score.
     Border pixels (within 3 of the edge) have both margins 0.
+
+    On TPU the margins come from the Pallas tile kernel
+    (`ops/pallas/fast_kernel.py`, bit-identical, ~50x less HBM traffic);
+    `backend="xla"` forces the dense-stencil formulation (also used
+    automatically off-TPU and under vmap, where a Pallas ANY-space
+    input cannot be batched).
     """
+    img_a = jnp.asarray(img)
+    if (backend == "auto" and img_a.ndim <= 3
+            and jax.default_backend() == "tpu"
+            and not _is_batch_tracer(img_a)):
+        from front_end_tpu.ops.pallas import fast_kernel
+        return fast_kernel.fast_margins_pallas(img_a, fast_type)
     circle, K = TYPES[fast_type]
     img = jnp.asarray(img, jnp.float32)
     n = len(circle)
@@ -177,14 +204,26 @@ def nms3x3(score):
     return jnp.where(keep, score, 0.0)
 
 
-def detect_dense(img, threshold, fast_type: str = "9_16", nms: bool = True):
+def detect_dense(img, threshold, fast_type: str = "9_16", nms: bool = True,
+                 *, backend: str = "auto"):
     """cv2-exact FAST: returns the response map of surviving corners
     (score where corner else 0); corners = map > 0.
 
     `threshold` may be a scalar or a per-pixel map (the adaptive grid
-    controller passes a per-cell threshold image).
+    controller passes a per-cell threshold image).  On TPU the whole
+    margins + threshold + sparse-NMS chain runs as ONE fused Pallas
+    kernel (bit-identical; one HBM round-trip instead of XLA's many
+    stencil passes).
     """
-    detect, score = fast_margins(img, fast_type)
+    img_a = jnp.asarray(img)
+    if (backend == "auto" and img_a.ndim <= 3
+            and jax.default_backend() == "tpu"
+            and not _is_batch_tracer(img_a)
+            and not _is_batch_tracer(jnp.asarray(threshold))):
+        from front_end_tpu.ops.pallas import fast_kernel
+        return fast_kernel.fast_detect_pallas(img_a, threshold, fast_type,
+                                              nms)
+    detect, score = fast_margins(img, fast_type, backend=backend)
     t = jnp.asarray(threshold, jnp.float32)
     s = jnp.where(detect > t, score, 0.0)
     if nms:

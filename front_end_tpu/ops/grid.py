@@ -120,11 +120,18 @@ def detect(img, thresholds, cfg: GridConfig) -> GridDetections:
     post-NMS count misses the set-point by >20 %), and the raw counts.
     """
     H, W = img.shape[-2:]
-    ch, cw = _cell_dims(H, W, cfg)
-    Gr, Gc = cfg.grid_rows, cfg.grid_cols
-
     tmap = threshold_image(thresholds, H, W, cfg)
     smap = fast_mod.detect_dense(img, tmap, cfg.fast_type, nms=True)
+    return _detect_from_map(smap, thresholds, cfg)
+
+
+def _detect_from_map(smap, thresholds, cfg: GridConfig) -> GridDetections:
+    """Controller update + per-cell top-k from a surviving-corner score
+    map (split from `detect` so the pair path can compute the FAST
+    margins OUTSIDE the pair vmap, where the Pallas kernel applies)."""
+    H, W = smap.shape[-2:]
+    ch, cw = _cell_dims(H, W, cfg)
+    Gr, Gc = cfg.grid_rows, cfg.grid_cols
 
     # crop to whole cells, then (Gr, Gc, ch*cw) cell view
     s = smap[:Gr * ch, :Gc * cw]
@@ -163,9 +170,15 @@ def detect_pair(left, right, tl, tr, cfg: GridConfig):
     """Stereo pair convenience: batch L/R through one program (the
     reference ran them on separate threads — here they share one fused
     kernel launch)."""
+    H, W = left.shape[-2:]
     imgs = jnp.stack([left, right])
+    tmaps = jnp.stack([threshold_image(tl, H, W, cfg),
+                       threshold_image(tr, H, W, cfg)])
+    # margins on the (2, H, W) stack BEFORE the vmap: the Pallas FAST
+    # kernel launches once for the pair (it cannot batch under vmap)
+    smaps = fast_mod.detect_dense(imgs, tmaps, cfg.fast_type, nms=True)
     ts = jnp.stack([tl, tr])
-    det = jax.vmap(lambda i, t: detect(i, t, cfg))(imgs, ts)
+    det = jax.vmap(lambda s, t: _detect_from_map(s, t, cfg))(smaps, ts)
     left_det = jax.tree.map(lambda a: a[0], det)
     right_det = jax.tree.map(lambda a: a[1], det)
     return left_det, right_det

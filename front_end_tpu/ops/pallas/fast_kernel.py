@@ -1,0 +1,279 @@
+"""Pallas TPU kernel: dense FAST segment-test margins.
+
+The XLA formulation (`ops/fast.py:fast_margins`) reads 16 shifted
+full-image views plus the centre and then runs ~300 elementwise
+min/max passes over full-image tensors — the VO profile shows it as the
+single hottest stage (2.2 ms/pair at KITTI res, vs ~20 µs of actual HBM
+traffic at speed of light).  This kernel tiles the image, DMAs each
+(tile + halo) into VMEM ONCE, materializes the 16 circle taps as static
+roll+slice pairs of the VMEM scratch, and runs the whole margin
+reduction (arc windows, quick-rejection gates, border mask) on the VPU
+without touching HBM again.  Output is the same (detect, score) margin
+pair as `fast_margins` — bit-identical (same op order, f32).
+
+cv2 semantics preserved exactly (see ops/fast.py module doc):
+- score  = pure arc margin (max over contiguous-K windows of the
+  per-class min), cv2 response + 1;
+- detect = min(arc margin, quick-pair margin) per class for 12/8-point
+  circles (the shared FAST_t quick-rejection gates), == score for 16;
+- border rows/cols [0,3) and [size-3, size) forced to 0.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from front_end_tpu.ops.fast import TYPES
+
+# Halos: circle radius is <= 3; sizes chosen so DMA slice shapes stay
+# (8, 128)-tile aligned (same trick as brief_kernel.py).
+HALO_Y = 8
+HALO_X = 128
+
+
+def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, tile_w, circle, K,
+            H, W):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        img_ref.at[b,
+                   pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
+                   pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
+        scratch, sem)
+    copy.start()
+    copy.wait()
+
+    h = tile_h + 2 * HALO_Y
+    w = tile_w + 2 * HALO_X
+
+    def tap(dx, dy):
+        # static roll then aligned static slice (Mosaic needs 8-aligned
+        # sublane slice starts; roll amounts are unrestricted)
+        r = pltpu.roll(scratch[:, :], (-dy) % h, axis=0)
+        r = pltpu.roll(r, (-dx) % w, axis=1)
+        return r[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
+
+    center = scratch[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
+    n = len(circle)
+    dark = [center - tap(dx, dy) for (dx, dy) in circle]    # p - c_i
+    bright = [-d for d in dark]                              # c_i - p
+
+    def arc_margin(d):
+        # max over circular starts s of min over window j<K of d[(s+j)%n]
+        best = None
+        for s in range(n):
+            m = d[s]
+            for jj in range(1, K):
+                m = jnp.minimum(m, d[(s + jj) % n])
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    def quick_margin(d):
+        # min over cv2's 8 pair tests (k, (k+8) mod n) of the pair max
+        m = None
+        for k in range(8):
+            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
+            m = pair if m is None else jnp.minimum(m, pair)
+        return m
+
+    run_d = arc_margin(dark)
+    run_b = arc_margin(bright)
+    score = jnp.maximum(run_d, run_b)
+    if n == 16:
+        detect = score
+    else:
+        detect = jnp.maximum(jnp.minimum(run_d, quick_margin(dark)),
+                             jnp.minimum(run_b, quick_margin(bright)))
+
+    # cv2 border: rows/cols [3, size-4] of the FULL image (padded tiles
+    # beyond H/W are masked off too)
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          + i * tile_h)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          + j * tile_w)
+    interior = ((ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4))
+    zero = jnp.zeros_like(score)
+    out_ref[0, 0, :, :] = jnp.where(interior, detect, zero)
+    out_ref[0, 1, :, :] = jnp.where(interior, score, zero)
+
+
+def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
+                   tile_h, tile_w, circle, K, H, W, nms):
+    """Fused cv2-exact FAST: margins + threshold gate + sparse NMS, one
+    HBM round-trip.  Margins are computed over the FULL halo'd scratch
+    (compute is ~2% of the kernel's cost; fusing the NMS saves a whole
+    image read+write) and the NMS compares the thresholded sparse
+    responses, exactly like `fast.detect_dense`."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        img_ref.at[b,
+                   pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
+                   pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
+        scratch, sem)
+    copy.start()
+    tcopy = pltpu.make_async_copy(
+        t_ref.at[b,
+                 pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
+                 pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
+        tscr, tsem)
+    tcopy.start()
+    copy.wait()
+
+    h = tile_h + 2 * HALO_Y
+    w = tile_w + 2 * HALO_X
+    full = scratch[:, :]
+
+    def tap(src, dx, dy):
+        r = pltpu.roll(src, (-dy) % h, axis=0)
+        return pltpu.roll(r, (-dx) % w, axis=1)
+
+    n = len(circle)
+    dark = [full - tap(full, dx, dy) for (dx, dy) in circle]
+    bright = [-d for d in dark]
+
+    def arc_margin(d):
+        best = None
+        for s in range(n):
+            m = d[s]
+            for jj in range(1, K):
+                m = jnp.minimum(m, d[(s + jj) % n])
+            best = m if best is None else jnp.maximum(best, m)
+        return best
+
+    def quick_margin(d):
+        m = None
+        for k in range(8):
+            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
+            m = pair if m is None else jnp.minimum(m, pair)
+        return m
+
+    run_d = arc_margin(dark)
+    run_b = arc_margin(bright)
+    score = jnp.maximum(run_d, run_b)
+    if n == 16:
+        detect = score
+    else:
+        detect = jnp.maximum(jnp.minimum(run_d, quick_margin(dark)),
+                             jnp.minimum(run_b, quick_margin(bright)))
+
+    # global-coordinate border mask over the full scratch
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+          + i * tile_h - HALO_Y)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+          + j * tile_w - HALO_X)
+    interior = ((ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4))
+
+    tcopy.wait()
+    corner = (detect > tscr[:, :]) & interior
+    s = jnp.where(corner, score, 0.0)
+    if nms:
+        neigh = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                v = tap(s, dx, dy)
+                neigh = v if neigh is None else jnp.maximum(neigh, v)
+        s = jnp.where(s > neigh, s, 0.0)
+    out_ref[0, :, :] = s[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
+
+
+@functools.partial(jax.jit, static_argnames=("fast_type", "nms", "tile_h",
+                                             "tile_w", "interpret"))
+def fast_detect_pallas(img, threshold, fast_type: str = "9_16",
+                       nms: bool = True, *, tile_h: int = 128,
+                       tile_w: int = 256, interpret: bool = False):
+    """Fused `fast.detect_dense` on TPU: (B, H, W) or (H, W) image +
+    same-shaped (or scalar) threshold -> surviving-corner response map,
+    bit-identical to the XLA path."""
+    circle, K = TYPES[fast_type]
+    img = jnp.asarray(img, jnp.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    B, H, W = img.shape
+    tmap = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32), img.shape)
+    Hp = -(-H // tile_h) * tile_h
+    Wp = -(-W // tile_w) * tile_w
+    pad = ((0, 0), (HALO_Y, Hp - H + HALO_Y), (HALO_X, Wp - W + HALO_X))
+    padded = jnp.pad(img, pad, mode="edge")
+    tpadded = jnp.pad(tmap, pad, mode="edge")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, Hp // tile_h, Wp // tile_w),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, tile_h, tile_w),
+                               lambda b, i, j: (b, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * HALO_Y, tile_w + 2 * HALO_X),
+                       jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO_Y, tile_w + 2 * HALO_X),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_detect_kernel, tile_h=tile_h, tile_w=tile_w,
+                          circle=circle, K=K, H=H, W=W, nms=nms),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(padded, tpadded)
+    out = out[:, :H, :W]
+    if squeeze:
+        out = out[0]
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("fast_type", "tile_h",
+                                             "tile_w", "interpret"))
+def fast_margins_pallas(img, fast_type: str = "9_16", *,
+                        tile_h: int = 128, tile_w: int = 256,
+                        interpret: bool = False):
+    """(B, H, W) or (H, W) float32 -> (detect, score) margin maps,
+    matching `ops/fast.fast_margins` bit-for-bit."""
+    circle, K = TYPES[fast_type]
+    img = jnp.asarray(img, jnp.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    B, H, W = img.shape
+    Hp = -(-H // tile_h) * tile_h
+    Wp = -(-W // tile_w) * tile_w
+    padded = jnp.pad(img, ((0, 0), (HALO_Y, Hp - H + HALO_Y),
+                           (HALO_X, Wp - W + HALO_X)), mode="edge")
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, Hp // tile_h, Wp // tile_w),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 2, tile_h, tile_w),
+                               lambda b, i, j: (b, 0, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * HALO_Y, tile_w + 2 * HALO_X),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, tile_h=tile_h, tile_w=tile_w,
+                          circle=circle, K=K, H=H, W=W),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 2, Hp, Wp), jnp.float32),
+        interpret=interpret,
+    )(padded)
+    out = out[:, :, :H, :W]
+    if squeeze:
+        out = out[0]
+    return out[..., 0, :, :], out[..., 1, :, :]
