@@ -22,6 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from front_end_tpu.ops.dense_select import lookup, segment_min
 from front_end_tpu.types import Descriptors, Keypoints, Matches
 
 BIG = 1e9
@@ -87,7 +88,7 @@ def mutual_match(dist) -> Matches:
     ti = jnp.argmin(dist, axis=1)                      # (Nq,)
     qi = jnp.argmin(dist, axis=0)                      # (Nt,)
     d = jnp.take_along_axis(dist, ti[:, None], axis=1)[:, 0]
-    mutual = qi[ti] == jnp.arange(dist.shape[0])
+    mutual = lookup(qi, ti) == jnp.arange(dist.shape[0])
     valid = mutual & (d < BIG / 2)
     return Matches(train_idx=ti.astype(jnp.int32), distance=d, valid=valid)
 
@@ -109,26 +110,71 @@ def unique_per_train(m: Matches, n_train: int) -> Matches:
     """Per-train dedup (`StereoCamera.cpp:231-264`): among queries matched
     to the same train index, keep only the lowest distance."""
     d = jnp.where(m.valid, m.distance, BIG)
-    best = jnp.full((n_train,), BIG).at[m.train_idx].min(d)
-    keep = m.valid & (d <= best[m.train_idx])
+    best = segment_min(d, m.train_idx, n_train)
+    keep = m.valid & (d <= lookup(best, m.train_idx))
     # break exact-distance ties by query index: first query wins
     nq = d.shape[0]
     qidx = jnp.arange(nq)
-    first = (jnp.full((n_train,), nq)
-             .at[m.train_idx].min(jnp.where(keep, qidx, nq)))
-    keep = keep & (qidx == first[m.train_idx])
+    first = segment_min(jnp.where(keep, qidx, nq), m.train_idx, n_train,
+                        fill=nq)
+    keep = keep & (qidx == lookup(first, m.train_idx))
     return m.replace(valid=keep)
+
+
+def _match_tile(n: int) -> int | None:
+    """Train-side tile width for the Pallas streaming matcher, or None
+    when the capacity doesn't tile (fall back to the XLA matrix)."""
+    for t in (512, 256, 128):
+        if n % t == 0:
+            return t
+    return None
+
+
+def _use_pallas_match(backend: str, *arrays) -> bool:
+    """Backend policy.  "xla" forces the fused matrix formulation — the
+    right choice INSIDE the jit-compiled VO pipeline, where XLA overlaps
+    the matrix passes with neighbouring stages and a pallas_call is a
+    fusion barrier (measured: 252.6 vs 234.3 fps end-to-end).  "auto"
+    picks the streaming kernel on TPU — 15x faster for standalone /
+    service calls (0.05 ms vs 0.7 ms), where dispatch is the boundary
+    anyway.  "pallas" forces the kernel (tests)."""
+    from front_end_tpu.ops.fast import _is_batch_tracer
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    return (jax.default_backend() == "tpu"
+            and not any(_is_batch_tracer(jnp.asarray(a)) for a in arrays))
 
 
 def stereo_match_live(kl: Keypoints, dl: Descriptors,
                       kr: Keypoints, dr: Descriptors,
                       *, epi_threshold: float = 0.7,
-                      max_disparity: float | None = None) -> Matches:
+                      max_disparity: float | None = None,
+                      backend: str = "auto") -> Matches:
     """The live_stereo recipe: crossCheck Hamming match, then the
     |Δy| <= 0.7 epipolar inlier filter (`live_stereo.cpp:358-377`).
     The epipolar gate is fused into the distance matrix (a candidate the
     gate would reject can never win), which strictly dominates the
-    reference's post-filter."""
+    reference's post-filter.
+
+    On TPU the distance matrix never exists: the Pallas streaming
+    matcher (`ops/pallas/match_kernel.py`) returns the row/col argmin
+    reductions directly and crossCheck becomes an O(N) epilogue."""
+    tile = _match_tile(kr.capacity)
+    if tile and _use_pallas_match(backend, dl.bits, dr.bits, kl.xy, kr.xy):
+        from front_end_tpu.ops.pallas import match_kernel
+        if max_disparity is not None:
+            mode, p = "stereo", dict(p1=float(epi_threshold), p2=0.0,
+                                     p3=float(max_disparity))
+        else:
+            mode, p = "epi", dict(p1=float(epi_threshold))
+        d1, _d2, i1, _cm, carg = match_kernel.match_reduce_pallas(
+            dl.bits, dr.bits, kl.xy, kr.xy, kl.valid, kr.valid,
+            mode=mode, tile_j=tile, **p)
+        mutual = lookup(carg, i1) == jnp.arange(kl.capacity)
+        return Matches(train_idx=i1.astype(jnp.int32), distance=d1,
+                       valid=mutual & (d1 < BIG / 2))
     dist = hamming_matrix(dl, dr) + validity_mask(kl.valid, kr.valid)
     dist = dist + epipolar_mask(kl, kr, epi_threshold)
     if max_disparity is not None:
@@ -139,11 +185,23 @@ def stereo_match_live(kl: Keypoints, dl: Descriptors,
 def stereo_match_knn(kl: Keypoints, dl: Descriptors,
                      kr: Keypoints, dr: Descriptors,
                      *, epi_threshold: float = 1.0, ratio: float = 0.8,
-                     norm: str = "hamming") -> Matches:
+                     norm: str = "hamming", backend: str = "auto"
+                     ) -> Matches:
     """The StereoCamera recipe (`StereoCamera.cpp:182-264`): epipolar mask,
     KNN(2) + Lowe 0.8, per-train uniqueness.  `norm` selects the distance
     the way the reference's `getMatcher` does (`features.py:464-467`):
     "hamming" for binary descriptors, "l2" for SURF/SIFT floats."""
+    tile = _match_tile(kr.capacity)
+    if (norm == "hamming" and tile
+            and _use_pallas_match(backend, dl.bits, dr.bits, kl.xy,
+                                  kr.xy)):
+        from front_end_tpu.ops.pallas import match_kernel
+        d1, d2, i1, _cm, _ca = match_kernel.match_reduce_pallas(
+            dl.bits, dr.bits, kl.xy, kr.xy, kl.valid, kr.valid,
+            mode="epi", p1=float(epi_threshold), tile_j=tile)
+        ok = (d1 < ratio * d2) & (d1 < BIG / 2)
+        m = Matches(train_idx=i1.astype(jnp.int32), distance=d1, valid=ok)
+        return unique_per_train(m, kr.capacity)
     dmat = (jnp.sqrt(l2sq_matrix(dl.bits, dr.bits)) if norm == "l2"
             else hamming_matrix(dl, dr))   # sqrt: Lowe ratio is linear
     dist = dmat + validity_mask(kl.valid, kr.valid)
@@ -154,9 +212,20 @@ def stereo_match_knn(kl: Keypoints, dl: Descriptors,
 
 def interframe_match(kc: Keypoints, dc: Descriptors,
                      kp: Keypoints, dp: Descriptors,
-                     *, box: float = 100.0, ratio: float = 0.8) -> Matches:
+                     *, box: float = 100.0, ratio: float = 0.8,
+                     backend: str = "auto") -> Matches:
     """WindowMatcher inter-frame recipe (`WindowMatcher.cpp:104-224`):
     ROI box gate + KNN(2) + Lowe + per-train uniqueness."""
+    tile = _match_tile(kp.capacity)
+    if tile and _use_pallas_match(backend, dc.bits, dp.bits, kc.xy,
+                                  kp.xy):
+        from front_end_tpu.ops.pallas import match_kernel
+        d1, d2, i1, _cm, _ca = match_kernel.match_reduce_pallas(
+            dc.bits, dp.bits, kc.xy, kp.xy, kc.valid, kp.valid,
+            mode="roi", p1=float(box), tile_j=tile)
+        ok = (d1 < ratio * d2) & (d1 < BIG / 2)
+        m = Matches(train_idx=i1.astype(jnp.int32), distance=d1, valid=ok)
+        return unique_per_train(m, kp.capacity)
     dist = hamming_matrix(dc, dp) + validity_mask(kc.valid, kp.valid)
     dist = dist + roi_mask(kc, kp, box)
     m = knn_lowe(dist, ratio)

@@ -37,6 +37,7 @@ from front_end_tpu.motion import essential as essential_mod
 from front_end_tpu.motion import lm as lm_mod
 from front_end_tpu.motion import ransac as ransac_mod
 from front_end_tpu.ops import brief as brief_mod
+from front_end_tpu.ops.dense_select import lookup, take_rows
 from front_end_tpu.ops import grid as grid_mod
 from front_end_tpu.ops import match as match_mod
 from front_end_tpu.ops import orb as orb_mod
@@ -149,11 +150,14 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
         dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
 
+    # backend="xla": inside this fused step the matrix formulation
+    # overlaps with neighbouring stages; the pallas kernel is a fusion
+    # barrier here (see match._use_pallas_match)
     m = match_mod.stereo_match_live(
         kl, dl, kr, dr, epi_threshold=cfg.epi_threshold,
-        max_disparity=cfg.max_disparity)
+        max_disparity=cfg.max_disparity, backend="xla")
 
-    xy_r = kr.xy[m.train_idx]                       # (N, 2) matched right kp
+    xy_r = take_rows(kr.xy, m.train_idx)            # (N, 2) matched right kp
     X = rig.triangulate(kl.xy, xy_r)
     uv4 = jnp.concatenate([kl.xy, xy_r], -1)
     feats = FrameFeatures(kps=kl, bits=dl.bits, X=X,
@@ -169,12 +173,12 @@ def _estimate_motion(key, cur: FrameFeatures, prev: FrameFeatures,
     tm = match_mod.interframe_match(
         cur.kps, Descriptors(bits=cur.bits),
         prev.kps, Descriptors(bits=prev.bits),
-        box=cfg.track_box, ratio=cfg.lowe_ratio)
+        box=cfg.track_box, ratio=cfg.lowe_ratio, backend="xla")
     pair_valid = (tm.valid & cur.stereo_valid
-                  & prev.stereo_valid[tm.train_idx])
-    Xp = prev.X[tm.train_idx]                        # (N, 3) previous frame
+                  & lookup(prev.stereo_valid, tm.train_idx))
+    Xp = take_rows(prev.X, tm.train_idx)             # (N, 3) previous frame
     Xc = cur.X                                       # (N, 3) current frame
-    uvp = prev.uv4[tm.train_idx]
+    uvp = take_rows(prev.uv4, tm.train_idx)
 
     if cfg.motion == "essential":
         res = essential_mod.essential_scaled_motion(

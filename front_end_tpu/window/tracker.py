@@ -126,30 +126,46 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
     cur_kps = kps.replace(valid=cur_valid)
     m = match_mod.interframe_match(
         cur_kps, desc, lm_kps, Descriptors(bits=store.bits),
-        box=cfg.roi_box, ratio=cfg.lowe_ratio)
+        box=cfg.roi_box, ratio=cfg.lowe_ratio, backend="xla")
     tracked = m.valid & cur_valid                      # (N,)
     slot_of_feature = jnp.where(tracked, m.train_idx, -1)
 
     # ---- write tracked observations ----------------------------------
+    # Scatters serialize on TPU (~0.9 ms each; this block had 14 of
+    # them).  Instead each write is a one-hot MXU matmul: slot m's row is
+    # ohᵀ·val where oh[n, m] = (slot_of_feature n == m) — exact, since
+    # every slot is claimed by at most one feature (post-dedup matches /
+    # distinct allocation ranks).
     Xw_cur = se3.transform_points(se3.invert_homog(pose_cur), X_cam)
-    tslot = jnp.where(tracked, m.train_idx, M)         # M = dump row
+    tslot = jnp.where(tracked, m.train_idx, M)         # M = discard
 
-    def scat(dst, val):
-        """Scatter val rows into dst at tslot; row M is a discard pad."""
-        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
-        ext = jnp.concatenate([dst, pad], 0)
-        return ext.at[tslot].set(val)[:M]
+    def dense_writes(slot):
+        oh = (slot[:, None] == jnp.arange(M)[None, :])   # (N, M)
+        ohf = oh.astype(jnp.float32)
+        hit = jnp.any(oh, axis=0)                        # (M,)
 
-    gslot = jnp.minimum(tslot, M - 1)
+        def put(dst, val):
+            """dst (M, D) <- val rows at the hit slots (one-hot matmul);
+            exact: each slot is claimed by at most one feature."""
+            vm = jax.lax.dot_general(
+                ohf, jnp.asarray(val, jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dst.dtype)
+            return jnp.where(hit[:, None], vm, dst)
+        return hit, put
+
+    hit_t, put_t = dense_writes(tslot)
     store = store._replace(
-        bits=scat(store.bits, desc.bits),
-        xy=scat(store.xy, kps.xy),
-        last_seen=scat(store.last_seen, jnp.full((N,), 1, jnp.int32) * fidx),
-        meas=scat(store.meas, store.meas[gslot].at[:, -1].set(uv4)),
-        vis=scat(store.vis, store.vis[gslot].at[:, -1].set(True)),
-        track_len=scat(store.track_len, store.track_len[gslot] + 1))
+        bits=put_t(store.bits, desc.bits),
+        xy=put_t(store.xy, kps.xy),
+        last_seen=jnp.where(hit_t, fidx, store.last_seen),
+        meas=store.meas.at[:, -1].set(put_t(store.meas[:, -1], uv4)),
+        vis=store.vis.at[:, -1].set(store.vis[:, -1] | hit_t),
+        track_len=store.track_len + hit_t.astype(jnp.int32))
 
     # ---- allocate new landmarks (newLandmarkVertex) -------------------
+    from front_end_tpu.ops.dense_select import lookup
+
     is_new = cur_valid & ~tracked
     # free slots: invalid or stale, oldest first
     stale = ~store.valid | (fidx - store.last_seen > cfg.max_age)
@@ -160,27 +176,26 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
     n_free = jnp.sum(stale)
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     can_alloc = is_new & (rank < n_free)
-    slot_new = order[jnp.clip(rank, 0, M - 1)]
+    slot_new = lookup(order, jnp.clip(rank, 0, M - 1))
     nslot = jnp.where(can_alloc, slot_new, M)
 
-    def scat_new(dst, val):
-        pad = jnp.zeros((1,) + dst.shape[1:], dst.dtype)
-        ext = jnp.concatenate([dst, pad], 0)
-        return ext.at[nslot].set(val)[:M]
-
-    W = cfg.window
-    meas_new = jnp.zeros((N, W, 4), jnp.float32).at[:, -1].set(uv4)
-    vis_new = jnp.zeros((N, W), bool).at[:, -1].set(True)
+    hit_n, put_n = dense_writes(nslot)
+    # claimed slots restart: measurement window zeroed except the last
+    # slot (this frame's uv4), vis only the last slot
+    meas = jnp.where(hit_n[:, None, None],
+                     jnp.zeros_like(store.meas), store.meas)
+    meas = meas.at[:, -1].set(put_n(meas[:, -1], uv4))
+    vis = jnp.where(hit_n[:, None], False, store.vis)
+    vis = vis.at[:, -1].set(vis[:, -1] | hit_n)
     store = store._replace(
-        Xw=scat_new(store.Xw, Xw_cur),
-        bits=scat_new(store.bits, desc.bits),
-        xy=scat_new(store.xy, kps.xy),
-        last_seen=scat_new(store.last_seen,
-                           jnp.full((N,), 1, jnp.int32) * fidx),
-        valid=scat_new(store.valid, jnp.ones((N,), bool)),
-        meas=scat_new(store.meas, meas_new),
-        vis=scat_new(store.vis, vis_new),
-        track_len=scat_new(store.track_len, jnp.ones((N,), jnp.int32)))
+        Xw=put_n(store.Xw, Xw_cur),
+        bits=put_n(store.bits, desc.bits),
+        xy=put_n(store.xy, kps.xy),
+        last_seen=jnp.where(hit_n, fidx, store.last_seen),
+        valid=store.valid | hit_n,
+        meas=meas,
+        vis=vis,
+        track_len=jnp.where(hit_n, 1, store.track_len))
 
     slot_of_feature = jnp.where(can_alloc, slot_new, slot_of_feature)
 
