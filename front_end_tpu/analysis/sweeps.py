@@ -15,6 +15,7 @@ semantics (`bin/extractMotion:59,79,103`).
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -32,15 +33,18 @@ EXTRACTORS = ("PCL", "Nister", "BA", "WindowBA")
 
 
 def _condition_batch(key, rig, cat, n_points, batch, noise_px,
-                     outlier_frac):
-    """One condition: `batch` independent worlds with noise + outliers."""
+                     outlier_frac, with_noise, with_outliers):
+    """One condition: `batch` independent worlds with noise + outliers.
+    `with_noise`/`with_outliers` are STATIC apply flags (a zero sigma is
+    NOT a no-op — the reference's noise model always adds U(0,1) to y);
+    the magnitudes stay traced so one compilation serves every level."""
     def one(k):
         k1, k2, k3 = jax.random.split(k, 3)
         w = sim.sample_world(k1, rig, cat, n_points)
-        if noise_px > 0:
+        if with_noise:
             w = sim.add_gaussian_noise(k2, w, rig, noise_px)
         out_mask = jnp.zeros((n_points,), bool)
-        if outlier_frac > 0:
+        if with_outliers:
             w, out_mask = sim.add_outliers(k3, w, rig, outlier_frac)
         return w, out_mask
 
@@ -64,11 +68,16 @@ def _extract(method, key, w, rig, threshold):
     raise ValueError(method)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "n_points", "window", "batch", "iters", "huber_px", "with_noise",
+    "with_outliers"))
 @f32_precision
-def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
-                         noise_px: float, outlier_frac: float, *,
-                         window: int = 3, batch: int = 64,
-                         iters: int = 20, huber_px: float = 3.0):
+def _window_condition_jit(key, rig: StereoRig, cat, n_points: int,
+                          noise_px, outlier_frac, *,
+                          window: int = 3, batch: int = 64,
+                          iters: int = 20, huber_px: float = 3.0,
+                          with_noise: bool = True,
+                          with_outliers: bool = True):
     """Full-window simulated BA — the `bin/extractBA` study done right.
 
     The reference's `simulatedBA` optimizes the WHOLE window state
@@ -82,14 +91,12 @@ def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
     from the noisy anchor-frame measurements."""
     from front_end_tpu.ba import schur
 
-    cat = sim.motion_category(speed)
-
     def one(k):
         k1, k2, k3 = jax.random.split(k, 3)
         ww = sim.sample_window_world(k1, rig, cat, n_points, window)
-        if noise_px > 0:
+        if with_noise:
             ww = sim.window_add_noise(k2, ww, noise_px)
-        if outlier_frac > 0:
+        if with_outliers:
             ww, _ = sim.window_add_outliers(k3, ww, rig, outlier_frac)
         poses0 = ww.poses.at[-1].set(ww.poses[-2])     # reset newest
         X0 = rig.triangulate(ww.meas[:, 0, :2], ww.meas[:, 0, 2:])
@@ -105,21 +112,39 @@ def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
                 jnp.sum(ww.vis & ww.valid[:, None]), res.rms_px)
 
     keys = jax.random.split(key, batch)
-    ang, terr, n_obs, rms = jax.vmap(one)(keys)
+    return jax.vmap(one)(keys)
+
+
+def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
+                         noise_px: float, outlier_frac: float, *,
+                         window: int = 3, batch: int = 64,
+                         iters: int = 20, huber_px: float = 3.0):
+    """numpy wrapper over the jitted window-condition body (one compiled
+    program per (shape, noise-branch) combination; eager dispatch costs
+    ~0.7 ms/op through the remote TPU tunnel, ~20 s per condition)."""
+    ang, terr, n_obs, rms = _window_condition_jit(
+        key, rig, sim.motion_category(speed), n_points=int(n_points),
+        noise_px=jnp.float32(noise_px),
+        outlier_frac=jnp.float32(outlier_frac),
+        window=window, batch=batch, iters=iters, huber_px=huber_px,
+        with_noise=noise_px > 0, with_outliers=outlier_frac > 0)
     return {"rot_err_deg": np.asarray(ang),
             "trans_err_m": np.asarray(terr),
             "n_inliers": np.asarray(n_obs),
             "window_rms_px": np.asarray(rms)}
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "method", "n_points", "batch", "threshold", "with_noise",
+    "with_outliers"))
 @f32_precision
-def run_condition(key, method: str, rig: StereoRig, speed: str,
-                  n_points: int, noise_px: float, outlier_frac: float,
-                  batch: int = 64, threshold: float = 0.08):
-    """Returns per-world absolute motion errors: dict of arrays (batch,)."""
-    cat = sim.motion_category(speed)
+def _condition_jit(key, method: str, rig: StereoRig, cat,
+                   n_points: int, noise_px, outlier_frac,
+                   batch: int = 64, threshold: float = 0.08, *,
+                   with_noise: bool = True, with_outliers: bool = True):
     worlds, out_mask = _condition_batch(key, rig, cat, n_points, batch,
-                                        noise_px, outlier_frac)
+                                        noise_px, outlier_frac,
+                                        with_noise, with_outliers)
     keys = jax.random.split(jax.random.fold_in(key, 1), batch)
 
     def one(k, w):
@@ -128,7 +153,21 @@ def run_condition(key, method: str, rig: StereoRig, speed: str,
         terr = jnp.linalg.norm(H[:3, 3] - w.Ht[:3, 3])
         return jnp.degrees(ang), terr, n_inl
 
-    ang, terr, n_inl = jax.vmap(one)(keys, worlds)
+    return jax.vmap(one)(keys, worlds)
+
+
+def run_condition(key, method: str, rig: StereoRig, speed: str,
+                  n_points: int, noise_px: float, outlier_frac: float,
+                  batch: int = 64, threshold: float = 0.08):
+    """Returns per-world absolute motion errors: dict of arrays (batch,).
+    One fully-jitted program per condition shape (see wrapper note on
+    `run_window_condition`)."""
+    ang, terr, n_inl = _condition_jit(
+        key, method, rig, sim.motion_category(speed),
+        n_points=int(n_points), noise_px=jnp.float32(noise_px),
+        outlier_frac=jnp.float32(outlier_frac),
+        batch=batch, threshold=threshold,
+        with_noise=noise_px > 0, with_outliers=outlier_frac > 0)
     return {"rot_err_deg": np.asarray(ang),
             "trans_err_m": np.asarray(terr),
             "n_inliers": np.asarray(n_inl)}
