@@ -240,6 +240,28 @@ class TestSweepStudy:
         assert np.median(res["rot_err_deg"]) < 0.1
         assert np.median(res["trans_err_m"]) < 1e-3
 
+    def test_window_ba_condition(self):
+        """Full-window simulated BA (the bin/extractBA capability): the
+        reset newest pose must be recovered on clean data and degrade
+        gracefully under noise + outliers."""
+        from front_end_tpu.analysis import sweeps
+        from front_end_tpu.geometry.camera import bumblebee_rig
+
+        rig = bumblebee_rig()
+        ideal = sweeps.run_window_condition(
+            jax.random.PRNGKey(0), rig, "medium", 100, 0.0, 0.0, batch=6)
+        assert ideal["rot_err_deg"].shape == (6,)
+        assert np.median(ideal["rot_err_deg"]) < 0.05
+        assert np.median(ideal["trans_err_m"]) < 2e-3
+        assert np.median(ideal["window_rms_px"]) < 0.2
+
+        hard = sweeps.run_window_condition(
+            jax.random.PRNGKey(0), rig, "medium", 100, 1.0, 0.15, batch=6)
+        # still usable (Huber) but measurably worse than ideal
+        assert np.median(hard["rot_err_deg"]) < 2.0
+        assert (np.median(hard["trans_err_m"])
+                >= np.median(ideal["trans_err_m"]))
+
     def test_study_resumable(self, tmp_path):
         from front_end_tpu.analysis import sweeps
 
