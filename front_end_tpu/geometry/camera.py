@@ -15,6 +15,7 @@ for points in front of the rig.  Q-triangulation follows
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -34,10 +35,20 @@ class StereoRig:
         fy = fx if fy is None else fy
         cx = (width - 1) / 2.0 if cx is None else cx
         cy = (height - 1) / 2.0 if cy is None else cy
-        f = jnp.float32
-        return cls(fx=jnp.asarray(fx, f), fy=jnp.asarray(fy, f),
-                   cx=jnp.asarray(cx, f), cy=jnp.asarray(cy, f),
-                   baseline=jnp.asarray(baseline, f),
+        # Host (numpy) scalars, NOT jnp: a rig is closed over by nearly
+        # every jitted pipeline function, and a device-committed array
+        # captured as a jit constant permanently degrades host->device
+        # transfer bandwidth ~100x on the remote-TPU (axon) backend —
+        # numpy constants fold into the executable instead.  Traced
+        # (batched) rigs built inside jit pass through the tracer branch.
+        import jax
+
+        def _h(v):
+            if isinstance(v, jax.core.Tracer):
+                return v
+            return np.asarray(v, np.float32)
+        return cls(fx=_h(fx), fy=_h(fy), cx=_h(cx), cy=_h(cy),
+                   baseline=_h(baseline),
                    width=int(width), height=int(height))
 
     # -- matrices ----------------------------------------------------------

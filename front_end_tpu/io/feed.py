@@ -28,9 +28,15 @@ class DeviceFeed:
     hide host latency.
     """
 
-    def __init__(self, frame_iter, depth: int = 3, device=None):
+    def __init__(self, frame_iter, depth: int = 3, device=None,
+                 dtype=None):
+        """dtype: optional transfer dtype.  Default keeps the source dtype
+        — ship uint8 camera frames as uint8 (4x fewer bytes over the
+        host->device link) and cast to float32 on device as stage 0 of
+        the jitted step (`vo_step` does this already)."""
         self._q = queue.Queue(maxsize=depth)
         self._device = device or jax.devices()[0]
+        self._dtype = dtype
         self._err = None
         self._thread = threading.Thread(
             target=self._worker, args=(iter(frame_iter),), daemon=True)
@@ -39,8 +45,11 @@ class DeviceFeed:
     def _worker(self, it):
         try:
             for l, r in it:
-                ld = jax.device_put(jnp.asarray(l, jnp.float32), self._device)
-                rd = jax.device_put(jnp.asarray(r, jnp.float32), self._device)
+                if self._dtype is not None:
+                    l = jnp.asarray(l, self._dtype)
+                    r = jnp.asarray(r, self._dtype)
+                ld = jax.device_put(l, self._device)
+                rd = jax.device_put(r, self._device)
                 self._q.put((ld, rd))
         except Exception as e:          # surfaced on next __next__
             self._err = e

@@ -29,6 +29,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from front_end_tpu.geometry import se3
 from front_end_tpu.motion import ransac as ransac_mod
@@ -88,9 +89,12 @@ def sampson_error(E, xa, xb):
     return jnp.sqrt(num / jnp.maximum(den, 1e-12))
 
 
-_D_NISTER = jnp.array([[0.0, 1.0, 0.0],
-                       [-1.0, 0.0, 0.0],
-                       [0.0, 0.0, 1.0]])     # getDNister, ~motion.py:27-32
+# numpy, not jnp: module-level device arrays captured as jit constants
+# degrade all later H2D transfers on the remote-TPU backend (see
+# geometry/camera.py StereoRig.create).
+_D_NISTER = np.array([[0.0, 1.0, 0.0],
+                      [-1.0, 0.0, 0.0],
+                      [0.0, 0.0, 1.0]], np.float32)  # getDNister, ~motion.py:27-32
 
 
 def decompose_essential(E):

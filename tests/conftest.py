@@ -23,6 +23,12 @@ try:
 except Exception:
     pass
 
+# Persistent compile cache: most of the 16-minute cold suite wall is XLA
+# compiles; cached executables make warm reruns start hot.
+from front_end_tpu.utils import cache as _cache  # noqa: E402
+
+_cache.enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -113,22 +113,50 @@ class TestServices:
             assert abs(got - direct) <= tol, (det_id, fam, got, direct)
 
     def test_full_fast_family_sweep_is_batched(self):
-        """354 FAST IDs must run as a handful of compiled programs: after
-        a warmup call, the full-family sweep finishes in well under a
-        second per hundred IDs (round-1 ask: <2 s total)."""
-        import time
+        """354 FAST IDs must run as a handful of compiled programs — one
+        margin-map pair per circle type plus one vmapped stats program per
+        (group, image) — NOT one launch per ID.  Asserted by counting
+        program invocations (a wall-clock bound here was flaky on shared
+        CPU hosts: the sweep's time is dominated by host scheduling, not
+        the thing this test guards)."""
         r = np.random.RandomState(4)
         img = np.kron(r.uniform(0, 255, (12, 16)),
                       np.ones((8, 8))).astype(np.float32)
         t = features.detector_table()
         ids = features.ids_for("FAST", t)
         assert len(ids) == 354
-        services.single_image_detection(ids[:6], img, img)   # warm groups
-        t0 = time.perf_counter()
-        res = services.single_image_detection(ids, img, img)
-        dt = time.perf_counter() - t0
+
+        calls = {"response": 0, "stats": 0}
+        orig_cache_get = services._RESPONSE_CACHE.__class__.__getitem__
+        orig_stats = services._fast_stats_batch
+
+        class CountingCache(dict):
+            def __getitem__(self, k):
+                fn = orig_cache_get(self, k)
+
+                def counted(*a, **kw):
+                    calls["response"] += 1
+                    return fn(*a, **kw)
+                return counted
+
+        def counted_stats(*a, **kw):
+            calls["stats"] += 1
+            return orig_stats(*a, **kw)
+
+        saved = services._RESPONSE_CACHE
+        services._RESPONSE_CACHE = CountingCache(saved)
+        services._fast_stats_batch = counted_stats
+        try:
+            res = services.single_image_detection(ids, img, img)
+        finally:
+            services._RESPONSE_CACHE = saved
+            services._fast_stats_batch = orig_stats
+
         assert len(res) == 354 and all(x["supported"] for x in res)
-        assert dt < 2.0, f"sweep took {dt:.2f}s"
+        # 3 circle types x 2 images for the response maps; 3 x 2 vmapped
+        # stats programs.  354 per-ID launches would show up here.
+        assert calls["response"] == 6, calls
+        assert calls["stats"] == 6, calls
 
     def test_keypoint_stats(self):
         s = np.zeros((10, 10))

@@ -61,7 +61,6 @@ class TestWindowVO:
         # trajectory: matches ground truth like the plain pipeline does
         gt = _gt_positions(6)
         p = np.stack([np.asarray(o.frame.pose)[:3, 3] for o in outs])
-        err = np.linalg.norm(p - gt[1:][:len(p) - 1].mean(0) * 0, axis=1)
         np.testing.assert_allclose(
             p[:, 0], gt[:, 0] + (p[0, 0] - gt[0, 0]), atol=0.05)
 
