@@ -64,7 +64,7 @@ def _local_cost(poses, X, meas, vis_w, rig, huber_px):
     return jnp.sum(factors.robust_cost(r2, huber_px) * vis_w)
 
 
-def _sharded_body(poses0, X0, meas, vis_w, rig, huber_px, lam0, iters):
+def _sharded_body(poses0, X0, meas, vis_w, rig, *, huber_px, lam0, iters):
     """Runs on each shard; X0/meas/vis_w are the LOCAL landmark blocks."""
     psum = partial(jax.lax.psum, axis_name=AXIS)
     cost0 = psum(_local_cost(poses0, X0, meas, vis_w, rig, huber_px))
@@ -75,10 +75,18 @@ def _sharded_body(poses0, X0, meas, vis_w, rig, huber_px, lam0, iters):
             poses, X, meas, vis_w, rig, huber_px)
         S_off_p, rhs_p, Hll_inv = schur._schur_reduce(
             Hpp_p, Hpl, Hll, bp_p, bl, lam)
-        # the reduced camera system is the ONLY cross-shard quantity
-        Hpp = psum(Hpp_p)
-        S_off = psum(S_off_p)
-        rhs = psum(rhs_p)
+        # the reduced camera system is the ONLY cross-shard quantity.
+        # ONE fused all-reduce: Hpp (W,6,6) + S_off (W,W,6,6) + rhs (W,6)
+        # pack into a single W(W+1)·36 + 6W float vector — at W=3 that is
+        # 450 floats, so the three separate psums were pure launch/sync
+        # latency, the dominant per-iteration cost at small shard sizes.
+        W = Hpp_p.shape[0]
+        packed = psum(jnp.concatenate(
+            [Hpp_p.ravel(), S_off_p.ravel(), rhs_p.ravel()]))
+        n_hpp, n_soff = 36 * W, 36 * W * W
+        Hpp = packed[:n_hpp].reshape(W, 6, 6)
+        S_off = packed[n_hpp:n_hpp + n_soff].reshape(W, W, 6, 6)
+        rhs = packed[n_hpp + n_soff:].reshape(W, 6)
         dxi = schur._assemble_and_solve(Hpp, S_off, rhs, lam)
         dX = schur._back_substitute(Hll_inv, bl, Hpl, dxi)
         new_poses, new_X = schur._apply(poses, X, dxi, dX)
@@ -101,7 +109,28 @@ def _sharded_body(poses0, X0, meas, vis_w, rig, huber_px, lam0, iters):
     return poses, X, cost, cost0, rms
 
 
-@f32_precision
+# Compiled-executable cache: building a fresh shard_map lambda per call
+# defeated jax's trace cache and every solve paid a multi-second
+# recompile (which also swamped any scaling measurement).  Keyed on the
+# mesh + static solver params + input shapes; the rig rides through as a
+# replicated pytree argument so differently-calibrated rigs share one
+# executable.
+_SHARDED_CACHE: dict = {}
+
+
+def _build_sharded_fn(mesh: Mesh, iters: int, huber_px: float,
+                      lam0: float):
+    body = partial(_sharded_body, huber_px=huber_px, lam0=lam0,
+                   iters=iters)
+    smapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS), P()),
+        out_specs=(P(), P(AXIS), P(), P(), P()),
+        check_vma=False)
+    return jax.jit(f32_precision(smapped))
+
+
 def ba_solve_sharded(mesh: Mesh, poses0, X0, meas, vis, rig: StereoRig, *,
                      iters: int = 12, huber_px: float = 3.0,
                      lam0: float = 1e-4) -> schur.BAResult:
@@ -112,16 +141,13 @@ def ba_solve_sharded(mesh: Mesh, poses0, X0, meas, vis, rig: StereoRig, *,
     """
     vis_w = jnp.asarray(vis, jnp.float32)
 
-    body = partial(_sharded_body, rig=rig, huber_px=huber_px, lam0=lam0,
-                   iters=iters)
-    fn = jax.shard_map(
-        lambda p, x, m, v: body(p, x, m, v),
-        mesh=mesh,
-        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-        out_specs=(P(), P(AXIS), P(), P(), P()),
-        check_vma=False)
+    key = (mesh, iters, float(huber_px), float(lam0))
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        fn = _SHARDED_CACHE[key] = _build_sharded_fn(
+            mesh, iters, float(huber_px), float(lam0))
     poses, X, cost, cost0, rms = fn(jnp.asarray(poses0), jnp.asarray(X0),
-                                    jnp.asarray(meas), vis_w)
+                                    jnp.asarray(meas), vis_w, rig)
     return schur.BAResult(poses=poses, landmarks=X, cost=cost, cost0=cost0,
                           rms_px=rms)
 
