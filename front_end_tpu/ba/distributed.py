@@ -49,7 +49,9 @@ def initialize_multihost(coordinator_address: str | None = None,
     backend').  Every process runs the same `ba_solve_sharded` call on
     its addressable shard of the landmark arrays.
     """
-    if jax.process_count() == 1:
+    # NB: do NOT probe jax.process_count() here — it initializes the XLA
+    # backend, after which jax.distributed.initialize() refuses to run.
+    if not jax.distributed.is_initialized():
         kw = {}
         if coordinator_address is not None:
             kw = dict(coordinator_address=coordinator_address,

@@ -212,10 +212,38 @@ def cmd_vo(args):
     cfg = vo.VOConfig(
         grid=grid.GridConfig(cell_capacity=384, set_point=args.set_point,
                              init_threshold=15.0),
+        descriptor=args.descriptor,
         desc_bytes=32, ransac_hyps=256, ransac_threshold=0.5,
         max_disparity=192.0)
 
-    poses_list = []
+    # --resume: restore carried state + prior trajectory, skip the
+    # frames already processed — the reference's batch resume semantics
+    # (`bin/extractMotion:59` skip-if-exists) for the live pipeline,
+    # backed by the exact-resume-tested pytree checkpoint
+    # (`utils/checkpoint.py` <- serializeWindow, algorithm.py:119-143).
+    from front_end_tpu.utils import checkpoint as ckpt_mod
+    n_done = 0
+    prior_poses = []
+    resume_state = None
+    if args.resume:
+        import json as json_mod
+        with open(args.resume + ".meta.json") as f:
+            meta = json_mod.load(f)
+        n_done = int(meta["n_processed"])
+        if meta["window"] != bool(args.window) or \
+                meta["descriptor"] != args.descriptor:
+            raise SystemExit("resume config mismatch: checkpoint was "
+                             f"{meta}, flags differ")
+        prior_poses = list(
+            np.load(args.resume + ".traj.npy"))
+        print(f"resuming after {n_done} frames from {args.resume}")
+
+    def skip_done(it):
+        for i, pair in enumerate(it):
+            if i >= n_done:
+                yield pair
+
+    poses_list = [np.asarray(p) for p in prior_poses]
     if args.window:
         # live window mode: tracker + windowed Schur BA in the loop
         # (the reference's window_node / WindowMatcher pipeline)
@@ -223,9 +251,11 @@ def cmd_vo(args):
         wcfg = window_vo.WindowVOConfig.create(
             cfg, window=args.window_size, ba_every=args.ba_every)
         state = window_vo.init_state(rig, wcfg)
+        if args.resume:
+            state = ckpt_mod.load_pytree(args.resume, state)
         step = jax.jit(
             lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
-        for i, (l, r) in enumerate(DeviceFeed(frame_iter)):
+        for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
             state, out = step(state, l, r)
             poses_list.append(np.array(out.frame.pose))
             if args.verbose and i % 25 == 0:
@@ -236,17 +266,27 @@ def cmd_vo(args):
         poses = np.stack(poses_list)
     else:
         state = vo.init_state(rig, cfg)
+        if args.resume:
+            state = ckpt_mod.load_pytree(args.resume, state)
         step = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, cfg))
-        motions = []
-        for i, (l, r) in enumerate(DeviceFeed(frame_iter)):
+        for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
             state, out = step(state, l, r)
-            motions.append(np.array(out.motion))
+            poses_list.append(np.array(out.pose))
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.n_stereo)} "
                       f"inliers={int(out.n_inliers)}")
-        poses = metrics.poses_from_motions(np.stack(motions))
+        poses = np.stack(poses_list) if poses_list else np.eye(4)[None]
     print(f"processed {len(poses)} frames"
           + (" (windowed BA mode)" if args.window else ""))
+    if args.save_state:
+        import json as json_mod
+        ckpt_mod.save_pytree(args.save_state, state)
+        np.save(args.save_state + ".traj.npy", poses)
+        with open(args.save_state + ".meta.json", "w") as f:
+            json_mod.dump({"n_processed": int(len(poses)),
+                           "window": bool(args.window),
+                           "descriptor": args.descriptor}, f)
+        print(f"state -> {args.save_state} (+ .traj.npy, .meta.json)")
     if gt is not None:
         n = min(len(poses), len(gt))
         ate = metrics.ate_rmse(poses[:n, :3, 3], gt[:n, :3, 3])
@@ -333,12 +373,24 @@ def main(argv=None):
     v.add_argument("--seq", default="00")
     v.add_argument("--frames", type=int, default=None)
     v.add_argument("--set-point", type=int, default=2000)
+    v.add_argument("--descriptor", default="brief",
+                   choices=["brief", "brief_pallas", "orb", "surf",
+                            "surf_ext", "freak", "brisk"],
+                   help="live descriptor (reference swap set, "
+                        "bin/detect_node:24-54); surf/surf_ext match "
+                        "with L2, the rest with Hamming")
     v.add_argument("--out", default=None)
     v.add_argument("--verbose", action="store_true")
     v.add_argument("--window", action="store_true",
                    help="live window mode: tracker + windowed BA")
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
+    v.add_argument("--save-state", default=None, metavar="PATH",
+                   help="checkpoint the carried pipeline state + "
+                        "trajectory after the run (.npz pytree)")
+    v.add_argument("--resume", default=None, metavar="PATH",
+                   help="restore a --save-state checkpoint and continue "
+                        "from the next unprocessed frame")
     v.set_defaults(fn=cmd_vo)
 
     rp = sub.add_parser("report")

@@ -39,15 +39,23 @@ def take_rows(X, idx):
     oh = (idx[:, None] == jnp.arange(M)[None, :])
     squeeze = X.ndim == 1
     X2 = X[:, None] if squeeze else X
+    # Precision.HIGHEST: the bit-identity claim above requires the f32
+    # payload NOT to be rounded through bf16 MXU passes, independent of
+    # any ambient default_matmul_precision at the call site (callers like
+    # telemetry's stage harness jit these stages without the pipeline's
+    # f32_precision pin; KITTI x-coords would round by up to ~4 px).
+    # One-hot operands make the extra passes nearly free.
     if X2.dtype in (jnp.int32, jnp.bool_):
         out = jax.lax.dot_general(
             oh.astype(jnp.float32), X2.astype(jnp.float32),
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32).astype(X2.dtype)
     else:
         out = jax.lax.dot_general(
             oh.astype(X2.dtype), X2,
             dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=X2.dtype)
     return out[:, 0] if squeeze else out
 

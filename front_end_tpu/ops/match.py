@@ -121,9 +121,15 @@ def unique_per_train(m: Matches, n_train: int) -> Matches:
     return m.replace(valid=keep)
 
 
-def _match_tile(n: int) -> int | None:
+def _match_tile(n: int, n_query: int = 0) -> int | None:
     """Train-side tile width for the Pallas streaming matcher, or None
-    when the capacity doesn't tile (fall back to the XLA matrix)."""
+    when the capacities don't tile (fall back to the XLA matrix).
+
+    The query side must also be (8, 128)-layout friendly: a query
+    capacity that is not a multiple of the f32 sublane count fails
+    Mosaic layout at runtime on TPU with no fallback."""
+    if n_query % 8 != 0:
+        return None
     for t in (512, 256, 128):
         if n % t == 0:
             return t
@@ -151,18 +157,24 @@ def stereo_match_live(kl: Keypoints, dl: Descriptors,
                       kr: Keypoints, dr: Descriptors,
                       *, epi_threshold: float = 0.7,
                       max_disparity: float | None = None,
-                      backend: str = "auto") -> Matches:
-    """The live_stereo recipe: crossCheck Hamming match, then the
-    |Δy| <= 0.7 epipolar inlier filter (`live_stereo.cpp:358-377`).
-    The epipolar gate is fused into the distance matrix (a candidate the
-    gate would reject can never win), which strictly dominates the
-    reference's post-filter.
+                      backend: str = "auto",
+                      norm: str = "hamming") -> Matches:
+    """The live_stereo recipe: crossCheck match, then the |Δy| <= 0.7
+    epipolar inlier filter (`live_stereo.cpp:358-377`).  `norm` selects
+    the distance the way the reference's `getMatcher` does
+    (`features.py:464-467`): "hamming" for binary descriptors, "l2" for
+    SURF/SIFT floats.  The epipolar gate is fused into the distance
+    matrix (a candidate the gate would reject can never win), which
+    strictly dominates the reference's post-filter.
 
     On TPU the distance matrix never exists: the Pallas streaming
-    matcher (`ops/pallas/match_kernel.py`) returns the row/col argmin
-    reductions directly and crossCheck becomes an O(N) epilogue."""
-    tile = _match_tile(kr.capacity)
-    if tile and _use_pallas_match(backend, dl.bits, dr.bits, kl.xy, kr.xy):
+    matcher (`ops/pallas/match_kernel.py`, hamming-only) returns the
+    row/col argmin reductions directly and crossCheck becomes an O(N)
+    epilogue."""
+    tile = _match_tile(kr.capacity, kl.capacity)
+    if (norm == "hamming" and tile
+            and _use_pallas_match(backend, dl.bits, dr.bits, kl.xy,
+                                  kr.xy)):
         from front_end_tpu.ops.pallas import match_kernel
         if max_disparity is not None:
             mode, p = "stereo", dict(p1=float(epi_threshold), p2=0.0,
@@ -175,7 +187,9 @@ def stereo_match_live(kl: Keypoints, dl: Descriptors,
         mutual = lookup(carg, i1) == jnp.arange(kl.capacity)
         return Matches(train_idx=i1.astype(jnp.int32), distance=d1,
                        valid=mutual & (d1 < BIG / 2))
-    dist = hamming_matrix(dl, dr) + validity_mask(kl.valid, kr.valid)
+    dmat = (jnp.sqrt(l2sq_matrix(dl.bits, dr.bits)) if norm == "l2"
+            else hamming_matrix(dl, dr))
+    dist = dmat + validity_mask(kl.valid, kr.valid)
     dist = dist + epipolar_mask(kl, kr, epi_threshold)
     if max_disparity is not None:
         dist = dist + disparity_mask(kl, kr, max_disparity)
@@ -191,7 +205,7 @@ def stereo_match_knn(kl: Keypoints, dl: Descriptors,
     KNN(2) + Lowe 0.8, per-train uniqueness.  `norm` selects the distance
     the way the reference's `getMatcher` does (`features.py:464-467`):
     "hamming" for binary descriptors, "l2" for SURF/SIFT floats."""
-    tile = _match_tile(kr.capacity)
+    tile = _match_tile(kr.capacity, kl.capacity)
     if (norm == "hamming" and tile
             and _use_pallas_match(backend, dl.bits, dr.bits, kl.xy,
                                   kr.xy)):
@@ -213,12 +227,14 @@ def stereo_match_knn(kl: Keypoints, dl: Descriptors,
 def interframe_match(kc: Keypoints, dc: Descriptors,
                      kp: Keypoints, dp: Descriptors,
                      *, box: float = 100.0, ratio: float = 0.8,
-                     backend: str = "auto") -> Matches:
+                     backend: str = "auto",
+                     norm: str = "hamming") -> Matches:
     """WindowMatcher inter-frame recipe (`WindowMatcher.cpp:104-224`):
     ROI box gate + KNN(2) + Lowe + per-train uniqueness."""
-    tile = _match_tile(kp.capacity)
-    if tile and _use_pallas_match(backend, dc.bits, dp.bits, kc.xy,
-                                  kp.xy):
+    tile = _match_tile(kp.capacity, kc.capacity)
+    if (norm == "hamming" and tile
+            and _use_pallas_match(backend, dc.bits, dp.bits, kc.xy,
+                                  kp.xy)):
         from front_end_tpu.ops.pallas import match_kernel
         d1, d2, i1, _cm, _ca = match_kernel.match_reduce_pallas(
             dc.bits, dp.bits, kc.xy, kp.xy, kc.valid, kp.valid,
@@ -226,7 +242,9 @@ def interframe_match(kc: Keypoints, dc: Descriptors,
         ok = (d1 < ratio * d2) & (d1 < BIG / 2)
         m = Matches(train_idx=i1.astype(jnp.int32), distance=d1, valid=ok)
         return unique_per_train(m, kp.capacity)
-    dist = hamming_matrix(dc, dp) + validity_mask(kc.valid, kp.valid)
+    dmat = (jnp.sqrt(l2sq_matrix(dc.bits, dp.bits)) if norm == "l2"
+            else hamming_matrix(dc, dp))
+    dist = dmat + validity_mask(kc.valid, kp.valid)
     dist = dist + roi_mask(kc, kp, box)
     m = knn_lowe(dist, ratio)
     return unique_per_train(m, kp.capacity)

@@ -125,10 +125,15 @@ def detect_describe_pyramid(img, *, n_levels: int = 4,
                             edge_threshold: int = 31,
                             max_keypoints: int = 1024,
                             n_bytes: int = 32, wta_k: int = 2,
-                            pattern_seed: int = 7):
+                            pattern_seed: int = 7,
+                            with_descriptors: bool = True):
     """Full ORB: pyramid FAST + centroid orientation + steered WTA_K
     descriptors.  Returns (OrbDetections, Descriptors) with capacity
-    `max_keypoints` (invalid rows padded)."""
+    `max_keypoints` (invalid rows padded).
+
+    with_descriptors=False skips the per-level smooth + orientation +
+    WTA sampling entirely (detection-only sweep path) and returns
+    zero descriptors/angles."""
     img = jnp.asarray(img, jnp.float32)
     H, W = img.shape
     budgets = _level_budgets(max_keypoints, n_levels, scale_factor)
@@ -152,15 +157,20 @@ def detect_describe_pyramid(img, *, n_levels: int = 4,
         yy = (idx // w).astype(jnp.float32)
         xx = (idx % w).astype(jnp.float32)
         xy_lvl = jnp.stack([xx, yy], -1)
-        ang = intensity_centroid_angle(lv, xy_lvl)
-        sm = brief_mod.smooth(lv)
-        desc = describe(sm, xy_lvl, ang, n_bytes, wta_k=wta_k,
-                        pattern_seed=pattern_seed)
+        if with_descriptors:
+            ang = intensity_centroid_angle(lv, xy_lvl)
+            sm = brief_mod.smooth(lv)
+            desc = describe(sm, xy_lvl, ang, n_bytes, wta_k=wta_k,
+                            pattern_seed=pattern_seed)
+            bits = desc.bits
+        else:
+            ang = jnp.zeros((k,), jnp.float32)
+            bits = jnp.zeros((k, 0), jnp.float32)
         per_level.append(dict(
             xy=xy_lvl * s, score=v, angle=ang, valid=v > 0,
             octave=jnp.full((k,), lvl, jnp.int32),
             size=jnp.full((k,), 31.0 * s, jnp.float32),
-            bits=desc.bits))
+            bits=bits))
 
     cat = {k: jnp.concatenate([p[k] for p in per_level])
            for k in per_level[0]}
@@ -185,7 +195,7 @@ def detect_dense_pyramid(img, *, n_levels: int = 4,
     det, _ = detect_describe_pyramid(
         img, n_levels=n_levels, scale_factor=scale_factor,
         fast_threshold=fast_threshold, edge_threshold=edge_threshold,
-        max_keypoints=max_keypoints, n_bytes=16)
+        max_keypoints=max_keypoints, with_descriptors=False)
     H, W = jnp.asarray(img).shape
     yy = jnp.clip(det.keypoints.xy[:, 1].astype(jnp.int32), 0, H - 1)
     xx = jnp.clip(det.keypoints.xy[:, 0].astype(jnp.int32), 0, W - 1)

@@ -46,6 +46,24 @@ from front_end_tpu.types import Descriptors, Keypoints
 from front_end_tpu.utils.precision import f32_precision
 
 
+# live descriptor registry — the reference's benchmarked swap set
+# (`/root/reference/bin/detect_node:24-54`: BRIEF16/64, SURF,
+# SURF_EXTENDED, FREAK, ORB) plus BRISK.  norm selects the matcher
+# distance (`src/StereoCamera.cpp:497-516` picks NORM by descriptor);
+# dim=None means 8*desc_bytes; border is the descriptor's sampling
+# radius (keypoints closer to an edge than this are dropped, cv2's
+# border-rejection behavior).
+DESCRIPTORS = {
+    "brief": dict(norm="hamming", dim=None, border=None),
+    "brief_pallas": dict(norm="hamming", dim=None, border=None),
+    "orb": dict(norm="hamming", dim=None, border=None),
+    "surf": dict(norm="l2", dim=64, border=24),
+    "surf_ext": dict(norm="l2", dim=128, border=24),
+    "freak": dict(norm="hamming", dim=512, border=30),
+    "brisk": dict(norm="hamming", dim=512, border=30),
+}
+
+
 @struct.dataclass
 class VOConfig:
     grid: grid_mod.GridConfig = struct.field(
@@ -63,6 +81,15 @@ class VOConfig:
     lm_refine: bool = struct.field(pytree_node=False, default=True)
     lm_iters: int = struct.field(pytree_node=False, default=6)
     min_track_inliers: int = struct.field(pytree_node=False, default=12)
+
+    @property
+    def desc_dim(self) -> int:
+        d = DESCRIPTORS[self.descriptor]["dim"]
+        return d if d is not None else 8 * self.desc_bytes
+
+    @property
+    def desc_norm(self) -> str:
+        return DESCRIPTORS[self.descriptor]["norm"]
 
 
 class FrameFeatures(NamedTuple):
@@ -96,7 +123,7 @@ class VOFrameOutput(NamedTuple):
 
 def init_state(rig: StereoRig, cfg: VOConfig, seed: int = 0) -> VOState:
     n = cfg.grid.capacity
-    d = 8 * cfg.desc_bytes
+    d = cfg.desc_dim
     feats = FrameFeatures(
         kps=Keypoints.empty(n),
         bits=jnp.zeros((n, d), jnp.float32),
@@ -121,23 +148,44 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         kl = kl.replace(xy=subpix_mod.corner_subpix(left, kl.xy, kl.valid))
         kr = kr.replace(xy=subpix_mod.corner_subpix(right, kr.xy, kr.valid))
 
-    # descriptor border validity
-    bl = brief_mod.valid_mask(kl.xy, rig.width, rig.height)
-    br = brief_mod.valid_mask(kr.xy, rig.width, rig.height)
+    # descriptor border validity (per-descriptor sampling radius)
+    border = DESCRIPTORS[cfg.descriptor]["border"]
+    bkw = {} if border is None else dict(border=border)
+    bl = brief_mod.valid_mask(kl.xy, rig.width, rig.height, **bkw)
+    br = brief_mod.valid_mask(kr.xy, rig.width, rig.height, **bkw)
     kl = kl.replace(valid=kl.valid & bl)
     kr = kr.replace(valid=kr.valid & br)
 
-    sml = brief_mod.smooth(left)
-    smr = brief_mod.smooth(right)
     if cfg.descriptor == "orb":
+        sml, smr = brief_mod.smooth(left), brief_mod.smooth(right)
         angl = orb_mod.intensity_centroid_angle(left, kl.xy)
         angr = orb_mod.intensity_centroid_angle(right, kr.xy)
         kl = kl.replace(angle=angl)
         kr = kr.replace(angle=angr)
         dl = orb_mod.describe(sml, kl.xy, angl, cfg.desc_bytes)
         dr = orb_mod.describe(smr, kr.xy, angr, cfg.desc_bytes)
+    elif cfg.descriptor in ("surf", "surf_ext"):
+        # float descriptor, L2-matched — the reference's SURF /
+        # SURF_EXTENDED live configs (`bin/detect_node:33-38`)
+        from front_end_tpu.ops import surf as surf_mod
+        ext = cfg.descriptor == "surf_ext"
+        dl = surf_mod.describe(left, kl.xy, extended=ext, upright=True)
+        dr = surf_mod.describe(right, kr.xy, extended=ext, upright=True)
+    elif cfg.descriptor == "freak":
+        from front_end_tpu.ops import freak as freak_mod
+        angl = freak_mod.orientations(left, kl.xy, kl.valid)
+        angr = freak_mod.orientations(right, kr.xy, kr.valid)
+        dl = freak_mod.describe(left, kl.xy, angl, kl.valid)
+        dr = freak_mod.describe(right, kr.xy, angr, kr.valid)
+    elif cfg.descriptor == "brisk":
+        from front_end_tpu.ops import brisk as brisk_mod
+        angl = brisk_mod.orientations(left, kl.xy, kl.valid)
+        angr = brisk_mod.orientations(right, kr.xy, kr.valid)
+        dl = brisk_mod.describe(left, kl.xy, angl, kl.valid)
+        dr = brisk_mod.describe(right, kr.xy, angr, kr.valid)
     elif cfg.descriptor == "brief_pallas" and jax.default_backend() == "tpu":
         from front_end_tpu.ops.pallas import brief_kernel
+        sml, smr = brief_mod.smooth(left), brief_mod.smooth(right)
         dl, dr = brief_kernel.describe_pair_pallas(
             sml, smr, kl.xy, kr.xy, cfg.desc_bytes)
     else:
@@ -147,6 +195,7 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         # Pallas roll kernel at 3.6 ms + 1.1 ms separate smooth — XLA's
         # fusion wins here, so Pallas stays opt-in (descriptor=
         # "brief_pallas").
+        sml, smr = brief_mod.smooth(left), brief_mod.smooth(right)
         dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
         dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
 
@@ -155,7 +204,8 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
     # barrier here (see match._use_pallas_match)
     m = match_mod.stereo_match_live(
         kl, dl, kr, dr, epi_threshold=cfg.epi_threshold,
-        max_disparity=cfg.max_disparity, backend="xla")
+        max_disparity=cfg.max_disparity, backend="xla",
+        norm=cfg.desc_norm)
 
     xy_r = take_rows(kr.xy, m.train_idx)            # (N, 2) matched right kp
     X = rig.triangulate(kl.xy, xy_r)
@@ -173,7 +223,8 @@ def _estimate_motion(key, cur: FrameFeatures, prev: FrameFeatures,
     tm = match_mod.interframe_match(
         cur.kps, Descriptors(bits=cur.bits),
         prev.kps, Descriptors(bits=prev.bits),
-        box=cfg.track_box, ratio=cfg.lowe_ratio, backend="xla")
+        box=cfg.track_box, ratio=cfg.lowe_ratio, backend="xla",
+        norm=cfg.desc_norm)
     pair_valid = (tm.valid & cur.stereo_valid
                   & lookup(prev.stereo_valid, tm.train_idx))
     Xp = take_rows(prev.X, tm.train_idx)             # (N, 3) previous frame
@@ -232,6 +283,27 @@ def vo_step(state: VOState, left, right, rig: StereoRig,
         n_inliers=mot_stats["n_inliers"],
         motion_ok=mot_stats["motion_ok"] | is_first)
     return new_state, out
+
+
+def swap_descriptor(state: VOState, rig: StereoRig,
+                    new_cfg: VOConfig) -> VOState:
+    """Mid-stream descriptor reconfig — the `setDetector` service
+    (`/root/reference/src/StereoCamera.cpp:422-521`) as a state
+    migration: the integrated pose, adaptive thresholds, frame index and
+    PRNG carry over; the per-frame feature memory restarts at the new
+    descriptor width (descriptor families are not comparable across the
+    swap, so the first frame after it yields identity motion and
+    tracking re-seeds — exactly the reference's behavior, which clears
+    its match state on reconfig)."""
+    n = new_cfg.grid.capacity
+    d = new_cfg.desc_dim
+    feats = FrameFeatures(
+        kps=Keypoints.empty(n),
+        bits=jnp.zeros((n, d), jnp.float32),
+        X=jnp.zeros((n, 3), jnp.float32),
+        stereo_valid=jnp.zeros((n,), bool),
+        uv4=jnp.zeros((n, 4), jnp.float32))
+    return state._replace(prev=feats)
 
 
 def run_sequence(state: VOState, lefts, rights, rig: StereoRig,

@@ -52,9 +52,10 @@ class WindowVOConfig:
         tr = tracker_mod.TrackerConfig(
             capacity=capacity or 2 * vo_cfg.grid.capacity,
             window=window,
-            desc_bits=8 * vo_cfg.desc_bytes,
+            desc_bits=vo_cfg.desc_dim,
             roi_box=vo_cfg.track_box,
-            lowe_ratio=vo_cfg.lowe_ratio)
+            lowe_ratio=vo_cfg.lowe_ratio,
+            norm=vo_cfg.desc_norm)
         return WindowVOConfig(vo=vo_cfg, tracker=tr, **kw)
 
 

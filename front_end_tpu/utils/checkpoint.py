@@ -18,7 +18,9 @@ import numpy as np
 def save_pytree(path: str, tree) -> int:
     """Write a pytree of arrays to `path` (.npz).  Returns leaf count."""
     leaves = jax.tree_util.tree_leaves(tree)
-    arrs = {f"leaf_{i:04d}": np.asarray(l) for i, l in enumerate(leaves)}
+    # 8-digit zero-pad: keys are paired with template leaves by sorted()
+    # order on load, which must stay lexicographic == numeric
+    arrs = {f"leaf_{i:08d}": np.asarray(l) for i, l in enumerate(leaves)}
     np.savez(path, **arrs)
     return len(leaves)
 
@@ -45,5 +47,10 @@ def load_pytree(path: str, template):
                 raise ValueError(
                     f"leaf {k}: checkpoint shape {a.shape} != template "
                     f"shape {ts} — config mismatch")
-            leaves.append(jax.numpy.asarray(a, dtype=np.asarray(t).dtype))
+            td = np.asarray(t).dtype
+            if a.dtype != td:
+                raise ValueError(
+                    f"leaf {k}: checkpoint dtype {a.dtype} != template "
+                    f"dtype {td} — config mismatch")
+            leaves.append(jax.numpy.asarray(a))
     return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -44,6 +44,7 @@ class TrackerConfig:
     roi_box: float = struct.field(pytree_node=False, default=100.0)
     lowe_ratio: float = struct.field(pytree_node=False, default=0.8)
     max_age: int = struct.field(pytree_node=False, default=3)      # frames
+    norm: str = struct.field(pytree_node=False, default="hamming")
 
 
 class LandmarkStore(NamedTuple):
@@ -126,7 +127,8 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
     cur_kps = kps.replace(valid=cur_valid)
     m = match_mod.interframe_match(
         cur_kps, desc, lm_kps, Descriptors(bits=store.bits),
-        box=cfg.roi_box, ratio=cfg.lowe_ratio, backend="xla")
+        box=cfg.roi_box, ratio=cfg.lowe_ratio, backend="xla",
+        norm=cfg.norm)
     tracked = m.valid & cur_valid                      # (N,)
     slot_of_feature = jnp.where(tracked, m.train_idx, -1)
 
@@ -146,10 +148,14 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
 
         def put(dst, val):
             """dst (M, D) <- val rows at the hit slots (one-hot matmul);
-            exact: each slot is claimed by at most one feature."""
+            exact: each slot is claimed by at most one feature.
+            Precision.HIGHEST keeps f32 payloads (pixel coords, world
+            points) from rounding through bf16 regardless of the
+            caller's matmul-precision context."""
             vm = jax.lax.dot_general(
                 ohf, jnp.asarray(val, jnp.float32),
                 dimension_numbers=(((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32).astype(dst.dtype)
             return jnp.where(hit[:, None], vm, dst)
         return hit, put
