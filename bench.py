@@ -14,7 +14,13 @@ KITTI-sized (376×1241) stereo pairs, fed frame-by-frame from the host.
 `detail` additionally reports:
   - fps_feed_inclusive: the SAME loop fed end-to-end through the native
     C++ decode ring (`csrc/feed.cc`) + `io.feed.DeviceFeed` prefetch from
-    PGM files on disk — the honest whole-system number;
+    PGM files on disk — the honest whole-system number.  NOTE: on this
+    build rig the TPU sits behind a remote tunnel whose measured
+    host->device bandwidth is ~30 MB/s (full-res uint8 stereo =
+    0.93 MB/frame -> a ~35-50 fps physical ceiling regardless of
+    software); on hardware with a local PCIe link the same loop is
+    compute-bound at fps_device_scan.  The decode ring itself sustains
+    >2500 fps;
   - fps_windowed: the live window mode (tracker + windowed Schur BA
     every frame, `pipeline/window_vo.py`) — the reference window_node's
     pipeline shape.
@@ -90,13 +96,24 @@ def _bench_feed_inclusive(step, state0, lefts, rights, rig):
             t0 = time.perf_counter()
             for L, R in dev:
                 state, out = step(state, L, R)
-            jax.block_until_ready(out.pose)
+            _sync(out.pose)
             dt = time.perf_counter() - t0
             src.close()
             return n / dt
 
         run_once()                       # warm (file cache + compile)
         return max(run_once() for _ in range(3))
+
+
+
+def _sync(x) -> None:
+    """True device synchronization.  On the remote-TPU (axon) backend
+    `jax.block_until_ready` can return while execution is still queued
+    (measured: a 40-step chain "completed" in 0.4 ms, then fetching one
+    4x4 pose took 4.1 s) — only an actual device->host FETCH proves the
+    work ran.  Every timing below ends with a fetch of a small output."""
+    import numpy as _np
+    _np.asarray(x)
 
 
 def main():
@@ -128,37 +145,76 @@ def main():
     # warmup: compile + settle thresholds
     for t in range(2):
         state, out = step(state, L[t], R[t])
-    jax.block_until_ready(out.pose)
+    _sync(out.pose)
 
-    # 5 passes over the sequence (200 dispatches): per-frame time is now
-    # sub-millisecond, so a single 40-frame pass is timing noise.
+    # 5 passes over the sequence (200 dispatches), fetch-synchronized
     reps = 5
     t0 = time.perf_counter()
     for _ in range(reps):
         for t in range(n_frames):
             state, out = step(state, L[t], R[t])
-    jax.block_until_ready(out.pose)
+    _sync(out.pose)
     dt = time.perf_counter() - t0
     fps = reps * n_frames / dt
+
+    # ---- device-only throughput: scanned chunk, one dispatch ----------
+    # the per-frame loop above is host-dispatch-bound at ~0.2 ms/frame;
+    # a lax.scan over the staged stack measures what the chip itself
+    # sustains (the deployment shape for offline/batch processing).
+    Ls = jnp.stack(L)
+    Rs = jnp.stack(R)
+
+    @jax.jit
+    def scan_seq(s, ls, rs):
+        return vo.run_sequence(s, ls, rs, rig, cfg)
+
+    sstate0 = vo.init_state(rig, cfg)
+    st, outs = scan_seq(sstate0, Ls, Rs)
+    _sync(outs.pose[-1])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        st, outs = scan_seq(st, Ls, Rs)
+    _sync(outs.pose[-1])
+    fps_scan = reps * n_frames / (time.perf_counter() - t0)
+
+    # ---- subpix variant: fps cost of cornerSubPix refinement -----------
+    # (ATE effect measured by tests/test_rendered_world.py: +3% error on
+    # the rendered world with the 0.75 px cap, 10x worse uncapped — so
+    # production keeps subpix OFF; this records what it would cost.)
+    scfg = cfg.replace(subpix=True)
+    sstep = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, scfg))
+    sstate = vo.init_state(rig, scfg)
+    for t in range(2):
+        sstate, sout = sstep(sstate, L[t], R[t])
+    _sync(sout.pose)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for t in range(n_frames):
+            sstate, sout = sstep(sstate, L[t], R[t])
+    _sync(sout.pose)
+    fps_subpix = reps * n_frames / (time.perf_counter() - t0)
 
     # ---- end-to-end (disk -> native decode -> prefetch -> step) --------
     fps_feed = _bench_feed_inclusive(step, vo.init_state(rig, cfg),
                                      lefts, rights, rig)
 
-    # ---- live window mode (tracker + windowed BA every frame) ----------
-    wcfg = window_vo.WindowVOConfig.create(cfg, window=3, ba_every=1,
-                                           ba_iters=4)
+    # ---- live window mode (tracker + windowed BA) ----------------------
+    # operating point ba_every=2, iters=2: the measured (fps, ATE) curve
+    # (bench_window.py, reports/r4/WINDOW_TRADEOFF.md) — >=200 fps with
+    # 3.1x better ATE than frame-to-frame on the rendered 6-DoF world.
+    wcfg = window_vo.WindowVOConfig.create(cfg, window=3, ba_every=2,
+                                           ba_iters=2)
     wstate = window_vo.init_state(rig, wcfg)
     wstep = jax.jit(
         lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
     for t in range(2):
         wstate, wout = wstep(wstate, L[t], R[t])
-    jax.block_until_ready(wout.frame.pose)
+    _sync(wout.frame.pose)
     t0 = time.perf_counter()
     for _ in range(reps):
         for t in range(n_frames):
             wstate, wout = wstep(wstate, L[t], R[t])
-    jax.block_until_ready(wout.frame.pose)
+    _sync(wout.frame.pose)
     fps_win = reps * n_frames / (time.perf_counter() - t0)
 
     result = {
@@ -176,6 +232,8 @@ def main():
             "motion_ok_last": bool(out.motion_ok),
             "fps_feed_inclusive": (round(fps_feed, 2)
                                    if fps_feed else None),
+            "fps_subpix_on": round(fps_subpix, 2),
+            "fps_device_scan": round(fps_scan, 2),
             "fps_windowed": round(fps_win, 2),
             "windowed_ba_ran_last": bool(wout.ba_ran),
             "windowed_n_tracked_last": int(wout.n_tracked),

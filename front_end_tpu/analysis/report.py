@@ -322,6 +322,56 @@ def plot_descriptor_timing(rows: list[dict], out_dir: str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# recorded-run plots (plot FROM a recording, like result_ONE from bags)
+# ---------------------------------------------------------------------------
+
+FRAME_BUDGET_S = 1.0 / 15.0          # the reference camera budget line
+
+
+def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
+    """Render a `cli vo --record` telemetry stream: per-frame wall time
+    with the 15 fps camera-budget gridline (`bin/result_ONE:69` plots
+    recorded bags against 1000/15 ms), plus the counter series.  The
+    platform label comes from the recording — recordings from different
+    backends (TPU vs CPU host) can be rendered side by side, the i7-vs-
+    Jetson comparison workflow."""
+    import matplotlib.pyplot as plt
+
+    from front_end_tpu.pipeline import telemetry
+
+    stages, counters, meta = telemetry.load_log(record_path)
+    plat = meta.get("platform", "device")
+    paths = []
+
+    if "frame" in stages:
+        ts = stages["frame"] * 1e3
+        fig, ax = plt.subplots(figsize=(4.8, 3.0))
+        ax.plot(range(len(ts)), ts, color=CAT[0], linewidth=1.5, zorder=3)
+        ax.axhline(FRAME_BUDGET_S * 1e3, color=INK_MUT, linewidth=0.8,
+                   linestyle="--", zorder=1)
+        ax.annotate("15 fps budget", (0, FRAME_BUDGET_S * 1e3), fontsize=7,
+                    color=INK_MUT, va="bottom")
+        _style(ax, title=f"Recorded frame time — {plat}",
+               xlabel="frame", ylabel="ms / frame")
+        paths.append(_save(fig, os.path.join(out_dir,
+                                             "recorded_frame_time.png")))
+
+    series = [(k, v) for k, v in sorted(counters.items())
+              if k.startswith("n_")]
+    if series:
+        fig, ax = plt.subplots(figsize=(4.8, 3.0))
+        for i, (k, v) in enumerate(series):
+            ax.plot(range(len(v)), v, color=CAT[i % len(CAT)],
+                    linewidth=1.5, label=k, zorder=3)
+        _style(ax, title=f"Recorded pipeline counters — {plat}",
+               xlabel="frame", ylabel="count")
+        ax.legend(frameon=False, fontsize=7, labelcolor=INK)
+        paths.append(_save(fig, os.path.join(out_dir,
+                                             "recorded_counters.png")))
+    return paths
+
+
+# ---------------------------------------------------------------------------
 # the report
 # ---------------------------------------------------------------------------
 
@@ -342,13 +392,15 @@ def _study_table(study: dict) -> list[str]:
 
 def generate_report(study_dir: str | None, out_dir: str, *,
                     frames=None, with_timings: bool = True,
-                    bench_json: str | None = None) -> str:
+                    bench_json: str | None = None,
+                    records: list[str] | None = None) -> str:
     """Render everything available into `out_dir` and write REPORT.md.
 
     study_dir: an `analysis.sweeps` output directory (or None to skip);
     frames: optional (lefts, rights) arrays for the live plots (falls
     back to the bench synthetic sequence); bench_json: a BENCH_r*.json /
-    bench.py output line to inline.
+    bench.py output line to inline; records: `cli vo --record` telemetry
+    streams to render (the recorded-bag workflow).
     """
     os.makedirs(out_dir, exist_ok=True)
     sections = ["# front_end_tpu report",
@@ -374,6 +426,11 @@ def generate_report(study_dir: str | None, out_dir: str, *,
             sections += ["", "### Median errors per condition", ""]
             sections += _study_table(study)
             sections.append("")
+
+    for rec in records or []:
+        if os.path.exists(rec):
+            sections.append(f"## Recorded run: `{os.path.basename(rec)}`\n")
+            figs += plot_recorded_run(rec, out_dir)
 
     sections.append("## Detection\n")
     figs.append(plot_detection_sweep(lefts[0], rights[0], out_dir))

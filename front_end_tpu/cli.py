@@ -243,6 +243,13 @@ def cmd_vo(args):
             if i >= n_done:
                 yield pair
 
+    # --record: per-frame telemetry stream (the rosbag-recording
+    # workflow of `launch/recordStereo.xml` + `bin/result_ONE`): frame
+    # wall time and pipeline counters persisted for `cli report
+    # --record` to plot from, without re-running anything.
+    from front_end_tpu.pipeline import telemetry
+    tlog = telemetry.TelemetryLog() if args.record else None
+
     poses_list = [np.asarray(p) for p in prior_poses]
     if args.window:
         # live window mode: tracker + windowed Schur BA in the loop
@@ -256,7 +263,17 @@ def cmd_vo(args):
         step = jax.jit(
             lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
         for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
-            state, out = step(state, l, r)
+            if tlog is not None:
+                with telemetry.FrameClock(tlog):
+                    state, out = step(state, l, r)
+                    jax.block_until_ready(out.frame.pose)
+                tlog.count("n_detect_l", out.frame.n_detect_l)
+                tlog.count("n_stereo", out.frame.n_stereo)
+                tlog.count("n_inliers", out.frame.n_inliers)
+                tlog.count("n_tracked", out.n_tracked)
+                tlog.count("ba_rms_px", out.ba_rms_px)
+            else:
+                state, out = step(state, l, r)
             poses_list.append(np.array(out.frame.pose))
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.frame.n_stereo)} "
@@ -270,7 +287,16 @@ def cmd_vo(args):
             state = ckpt_mod.load_pytree(args.resume, state)
         step = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, cfg))
         for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
-            state, out = step(state, l, r)
+            if tlog is not None:
+                with telemetry.FrameClock(tlog):
+                    state, out = step(state, l, r)
+                    jax.block_until_ready(out.pose)
+                tlog.count("n_detect_l", out.n_detect_l)
+                tlog.count("n_stereo", out.n_stereo)
+                tlog.count("n_tracks", out.n_tracks)
+                tlog.count("n_inliers", out.n_inliers)
+            else:
+                state, out = step(state, l, r)
             poses_list.append(np.array(out.pose))
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.n_stereo)} "
@@ -278,6 +304,12 @@ def cmd_vo(args):
         poses = np.stack(poses_list) if poses_list else np.eye(4)[None]
     print(f"processed {len(poses)} frames"
           + (" (windowed BA mode)" if args.window else ""))
+    if tlog is not None:
+        telemetry.save_log(args.record, tlog, meta={
+            "descriptor": args.descriptor, "window": bool(args.window),
+            "platform": str(jax.devices()[0]),
+            "resolution": f"{rig.height}x{rig.width}"})
+        print(f"telemetry recording -> {args.record}")
     if args.save_state:
         import json as json_mod
         ckpt_mod.save_pytree(args.save_state, state)
@@ -310,7 +342,8 @@ def cmd_report(args):
                   np.stack([p[1] for p in pairs]))
     path = report_mod.generate_report(
         args.study, args.out, frames=frames,
-        with_timings=not args.no_timings, bench_json=args.bench_json)
+        with_timings=not args.no_timings, bench_json=args.bench_json,
+        records=args.record)
     print(f"report -> {path}")
 
 
@@ -385,6 +418,9 @@ def main(argv=None):
                    help="live window mode: tracker + windowed BA")
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
+    v.add_argument("--record", default=None, metavar="PATH",
+                   help="record per-frame telemetry (frame time + "
+                        "counters) to PATH (.npz) for `report --record`")
     v.add_argument("--save-state", default=None, metavar="PATH",
                    help="checkpoint the carried pipeline state + "
                         "trajectory after the run (.npz pytree)")
@@ -402,6 +438,10 @@ def main(argv=None):
     rp.add_argument("--frames", type=int, default=12)
     rp.add_argument("--no-timings", action="store_true")
     rp.add_argument("--bench-json", default=None)
+    rp.add_argument("--record", action="append", default=[],
+                    metavar="PATH",
+                    help="telemetry recording(s) from `vo --record` to "
+                         "render (repeatable)")
     rp.set_defaults(fn=cmd_report)
 
     x = sub.add_parser("explore")

@@ -127,11 +127,15 @@ def _match_tile(n: int, n_query: int = 0) -> int | None:
 
     The query side must also be (8, 128)-layout friendly: a query
     capacity that is not a multiple of the f32 sublane count fails
-    Mosaic layout at runtime on TPU with no fallback."""
+    Mosaic layout at runtime on TPU with no fallback.  The (Nq, tile)
+    distance block lives in VMEM: Nq*tile is capped at the measured-good
+    2304*512 budget (Nq=3072 with tile 512 ran out of scoped vmem at
+    19 MB vs the 16 MB limit), shrinking the tile before giving up."""
     if n_query % 8 != 0:
         return None
+    budget = 2304 * 512
     for t in (512, 256, 128):
-        if n % t == 0:
+        if n % t == 0 and max(n_query, 1) * t <= budget:
             return t
     return None
 

@@ -41,17 +41,36 @@ ORIENT_PATCH = 31
 
 def intensity_centroid_angle(img, xy):
     """Keypoint orientation: angle of the intensity centroid of the 31×31
-    patch (radians).  img: (H, W) raw (unsmoothed) image; xy: (N, 2)."""
+    patch (radians).  img: (H, W) raw (unsmoothed) image; xy: (N, 2).
+
+    TPU-native form: the windowed moments m10/m01 are CONVOLUTIONS of
+    the image with the (circ·x) / (circ·y) kernels, so both moment maps
+    are built densely on the MXU (one lax.conv with 2 output channels)
+    and each keypoint costs two point-samples — replacing a (N, 31, 31)
+    patch gather that serialized on TPU (~30 ms at N=2304; the conv
+    formulation is <1 ms)."""
     r = ORIENT_PATCH // 2
     gy, gx = np.mgrid[-r:r + 1, -r:r + 1].astype(np.float32)
-    circ = jnp.asarray((gx**2 + gy**2 <= r * r).astype(np.float32))
-    gxj, gyj = jnp.asarray(gx), jnp.asarray(gy)
+    circ = (gx**2 + gy**2 <= r * r).astype(np.float32)
+    # lax.conv_general_dilated computes CORRELATION, so the (x·circ),
+    # (y·circ) windows are used unflipped
+    kx = gx * circ
+    ky = gy * circ
+    kern = jnp.asarray(np.stack([kx, ky])[:, None])   # (O=2, I=1, kh, kw)
 
-    patches = brief_mod.image_ops.extract_patches(
-        jnp.asarray(img, jnp.float32), jnp.asarray(xy), ORIENT_PATCH)
-    w = patches * circ
-    m10 = jnp.sum(w * gxj, axis=(-2, -1))
-    m01 = jnp.sum(w * gyj, axis=(-2, -1))
+    imgf = jnp.asarray(img, jnp.float32)[None, None]  # (1, 1, H, W)
+    mom = jax.lax.conv_general_dilated(
+        imgf, kern, window_strides=(1, 1), padding="SAME")[0]  # (2, H, W)
+
+    xi = jnp.round(jnp.asarray(xy)[:, 0]).astype(jnp.int32)
+    yi = jnp.round(jnp.asarray(xy)[:, 1]).astype(jnp.int32)
+    H, W = imgf.shape[-2:]
+    xi = jnp.clip(xi, 0, W - 1)
+    yi = jnp.clip(yi, 0, H - 1)
+    flat = mom.reshape(2, -1)
+    idx = yi * W + xi
+    m10 = flat[0, idx]
+    m01 = flat[1, idx]
     return jnp.arctan2(m01, m10)
 
 

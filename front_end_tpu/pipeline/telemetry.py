@@ -52,6 +52,51 @@ class TelemetryLog:
                 "counters": {k: list(v) for k, v in self.counters.items()}}
 
 
+def save_log(path: str, log: TelemetryLog, meta: dict | None = None):
+    """Persist a run's telemetry stream (.npz) — the analogue of the
+    reference's rosbag recordings (`launch/recordStereo.xml`): per-frame
+    stage times + counter series, so `analysis.report` can plot FROM THE
+    RECORDING instead of re-running the pipeline (`bin/result_ONE:60-91`
+    plots recorded bags)."""
+    import json
+
+    import numpy as np
+
+    labels = sorted({r.label for fr in log.frames for r in fr})
+    arrs = {}
+    for lb in labels:
+        series = []
+        for fr in log.frames:
+            vals = [r.seconds for r in fr if r.label == lb]
+            series.append(vals[0] if vals else np.nan)
+        arrs[f"stage_{lb}"] = np.asarray(series, np.float64)
+    for k, v in log.counters.items():
+        arrs[f"counter_{k}"] = np.asarray(v, np.float64)
+    arrs["_meta"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    np.savez(path, **arrs)
+    return path
+
+
+def load_log(path: str):
+    """-> (stages: {label: (T,) seconds}, counters: {label: (T,)},
+    meta: dict)."""
+    import json
+
+    import numpy as np
+
+    stages, counters, meta = {}, {}, {}
+    with np.load(path) as z:
+        for k in z.files:
+            if k.startswith("stage_"):
+                stages[k[len("stage_"):]] = z[k]
+            elif k.startswith("counter_"):
+                counters[k[len("counter_"):]] = z[k]
+            elif k == "_meta":
+                meta = json.loads(z[k].tobytes().decode() or "{}")
+    return stages, counters, meta
+
+
 class FrameClock:
     """Times a fused frame step with a device sync, ProcTime-style."""
 

@@ -145,8 +145,14 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
     kl, kr = detl.keypoints, detr.keypoints
 
     if cfg.subpix:
-        kl = kl.replace(xy=subpix_mod.corner_subpix(left, kl.xy, kl.valid))
-        kr = kr.replace(xy=subpix_mod.corner_subpix(right, kr.xy, kr.valid))
+        # sub-pixel cap: unbounded cornerSubPix drift measured 10x worse
+        # ATE on the rendered-world regression; caps swept there — 0.3
+        # is the neutral point (1.03x), larger caps drift (see
+        # ops/subpix.py and tests/test_rendered_world.py)
+        kl = kl.replace(xy=subpix_mod.corner_subpix(
+            left, kl.xy, kl.valid, max_shift=0.3))
+        kr = kr.replace(xy=subpix_mod.corner_subpix(
+            right, kr.xy, kr.valid, max_shift=0.3))
 
     # descriptor border validity (per-descriptor sampling radius)
     border = DESCRIPTORS[cfg.descriptor]["border"]

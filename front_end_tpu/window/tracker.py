@@ -226,7 +226,8 @@ def tracked_pairs(state_prev: WindowState, upd: TrackUpdate, X_cam_cur):
 
 def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
                   huber_px: float = 3.0, min_obs: int = 2,
-                  outlier_gate_px: float = 8.0):
+                  outlier_gate_px: float = 8.0,
+                  max_landmarks: int | None = 2048):
     """Windowed BA over the store: optimize the W window poses (+ the
     landmarks observed >= min_obs times in-window).  Returns the updated
     state.  This is the `sba_node` capability wired to live tracking.
@@ -236,8 +237,17 @@ def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
     counterpart of the RANSAC gating the frame-to-frame path gets
     (descriptor mis-associations land tens of px off; Huber alone still
     lets their saturated influence bias the window poses).
+
+    `max_landmarks`: the solver runs on a COMPACTED problem — the top-K
+    usable landmarks by in-window observation count (ties: longest
+    track).  The store's M slots are mostly empty or under-observed;
+    solving the dense (M, W) grid wasted ~2x compute at production
+    capacities.  Gather/scatter ride one-hot MXU matmuls (dense_select),
+    so the compaction itself costs tens of microseconds.  None = solve
+    the full grid.
     """
     from front_end_tpu.ba import factors, schur
+    from front_end_tpu.ops.dense_select import take_rows
 
     store = state.store
     obs_count = jnp.sum(store.vis, axis=1)
@@ -247,6 +257,34 @@ def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
         r = factors.residual(state.poses[None, :], store.Xw[:, None, :],
                              store.meas, rig)
         vis = vis & (jnp.sum(r * r, -1) < outlier_gate_px ** 2)
+
+    M = store.Xw.shape[0]
+    if max_landmarks is not None and max_landmarks < M:
+        K = max_landmarks
+        score = jnp.where(use, obs_count.astype(jnp.float32) * 1e4
+                          + jnp.minimum(store.track_len, 9999), -1.0)
+        _, sel = jax.lax.top_k(score, K)                 # (K,) slot ids
+        sel_valid = take_rows(use, sel)
+        Xk = take_rows(store.Xw, sel)
+        meask = take_rows(store.meas.reshape(M, -1), sel).reshape(
+            K, *store.meas.shape[1:])
+        visk = take_rows(vis, sel) & sel_valid[:, None]
+        res = schur.ba_solve(state.poses, Xk, meask, visk, rig,
+                             iters=iters, huber_px=huber_px)
+        # scatter refined landmarks back (each slot selected at most
+        # once -> one-hot transpose matmul is exact)
+        oh = (sel[:, None] == jnp.arange(M)[None, :]) \
+            & sel_valid[:, None]                          # (K, M)
+        upd = jax.lax.dot_general(
+            oh.astype(jnp.float32), res.landmarks,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)           # (M, 3)
+        hit = jnp.any(oh, axis=0)
+        new_store = store._replace(
+            Xw=jnp.where(hit[:, None], upd, store.Xw))
+        return state._replace(store=new_store, poses=res.poses), res
+
     res = schur.ba_solve(state.poses, store.Xw, store.meas, vis, rig,
                         iters=iters, huber_px=huber_px)
     new_store = store._replace(

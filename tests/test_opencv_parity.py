@@ -206,61 +206,8 @@ class TestVOAgainstCv2Reference:
     (BASELINE.md north star: 'ATE within OpenCV-reference bound')."""
 
     def _cv2_vo(self, lefts, rights, rig):
-        """Frame-to-frame cv2 VO: FAST+ORB stereo, BF match, rigid SVD."""
-        orb = cv2.ORB_create(nfeatures=1500, fastThreshold=15)
-        bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
-        prev = None
-        poses = [np.eye(4)]
-        for L, R in zip(lefts, rights):
-            L8, R8 = L.astype(np.uint8), R.astype(np.uint8)
-            kl, dl = orb.detectAndCompute(L8, None)
-            kr, dr = orb.detectAndCompute(R8, None)
-            if dl is None or dr is None:
-                poses.append(poses[-1])
-                continue
-            ms = bf.match(dl, dr)
-            pts, desc = [], []
-            for m in ms:
-                pl = np.array(kl[m.queryIdx].pt)
-                pr = np.array(kr[m.trainIdx].pt)
-                d = pl[0] - pr[0]
-                if abs(pl[1] - pr[1]) <= 0.7 and 0.5 < d < 192:
-                    z = rig.fx * rig.baseline / d
-                    X = np.array([(pl[0] - rig.cx) * z / rig.fx,
-                                  (pl[1] - rig.cy) * z / rig.fx, z])
-                    pts.append(X)
-                    desc.append(dl[m.queryIdx])
-            if prev is not None and len(pts) > 8 and len(prev[0]) > 8:
-                m2 = bf.match(np.array(desc), np.array(prev[1]))
-                A = np.array([pts[m.queryIdx] for m in m2])
-                B = np.array([prev[0][m.trainIdx] for m in m2])
-                if len(A) >= 4:
-                    # rigid Kabsch B->A with simple residual rejection
-                    H = self._kabsch(B, A)
-                    r = np.linalg.norm(
-                        A - (B @ H[:3, :3].T + H[:3, 3]), axis=1)
-                    keep = r < np.maximum(3 * np.median(r), 0.05)
-                    if keep.sum() >= 4:
-                        H = self._kabsch(B[keep], A[keep])
-                    poses.append(poses[-1] @ np.linalg.inv(H))
-                else:
-                    poses.append(poses[-1])
-            else:
-                poses.append(poses[-1])
-            prev = (np.array(pts) if pts else np.zeros((0, 3)),
-                    np.array(desc) if desc else np.zeros((0, 32), np.uint8))
-        return np.stack(poses[1:])
-
-    def _kabsch(self, B, A):
-        cb, ca = B.mean(0), A.mean(0)
-        Hm = (B - cb).T @ (A - ca)
-        U, _, Vt = np.linalg.svd(Hm)
-        D = np.diag([1, 1, np.sign(np.linalg.det(Vt.T @ U.T))])
-        Rm = Vt.T @ D @ U.T
-        out = np.eye(4)
-        out[:3, :3] = Rm
-        out[:3, 3] = ca - Rm @ cb
-        return out
+        from cv2_ref import cv2_stereo_vo
+        return cv2_stereo_vo(lefts, rights, rig)
 
     def test_ate_bound(self):
         import bench as bench_mod
