@@ -29,18 +29,33 @@ class DeviceFeed:
     """
 
     def __init__(self, frame_iter, depth: int = 3, device=None,
-                 dtype=None):
+                 dtype=None, threaded: bool | None = None):
         """dtype: optional transfer dtype.  Default keeps the source dtype
         — ship uint8 camera frames as uint8 (4x fewer bytes over the
         host->device link) and cast to float32 on device as stage 0 of
-        the jitted step (`vo_step` does this already)."""
+        the jitted step (`vo_step` does this already).
+
+        threaded: background-thread transfers (the double-buffering
+        design).  Default: ON for local devices, OFF for the remote
+        (axon-tunnelled) TPU, where a transfer thread contending with
+        the dispatching thread collapses throughput ~25x (measured 36 ->
+        1.4 fps) — there the puts run inline on the consumer thread and
+        the upstream decode ring still overlaps disk/decode."""
         self._q = queue.Queue(maxsize=depth)
         self._device = device or jax.devices()[0]
         self._dtype = dtype
         self._err = None
-        self._thread = threading.Thread(
-            target=self._worker, args=(iter(frame_iter),), daemon=True)
-        self._thread.start()
+        if threaded is None:
+            ver = getattr(getattr(self._device, "client", None),
+                          "platform_version", "") or ""
+            threaded = "axon" not in ver.lower()
+        self._threaded = threaded
+        if threaded:
+            self._thread = threading.Thread(
+                target=self._worker, args=(iter(frame_iter),), daemon=True)
+            self._thread.start()
+        else:
+            self._it = iter(frame_iter)
 
     def _worker(self, it):
         try:
@@ -56,10 +71,20 @@ class DeviceFeed:
         finally:
             self._q.put(None)
 
+    def _put(self, l, r):
+        if self._dtype is not None:
+            l = jnp.asarray(l, self._dtype)
+            r = jnp.asarray(r, self._dtype)
+        return (jax.device_put(l, self._device),
+                jax.device_put(r, self._device))
+
     def __iter__(self):
         return self
 
     def __next__(self):
+        if not self._threaded:
+            l, r = next(self._it)
+            return self._put(l, r)
         item = self._q.get()
         if item is None:
             if self._err is not None:
