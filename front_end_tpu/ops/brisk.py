@@ -126,18 +126,29 @@ def detect_dense(img, *, threshold: float = 30.0, n_octaves: int = 3):
 
 
 def _sample_rings(img, xy, offsets, ring_id, scale):
-    """Sample every pattern point from its ring's blur level.
-    offsets: (N, P, 2) [dy, dx] rotated+scaled; returns (N, P)."""
+    """Sample each pattern point from its ring's blur level.
+    offsets: (N, P, 2) [dy, dx] rotated+scaled; returns (N, P).
+
+    ring_id is STATIC, so each ring gathers only ITS pattern columns
+    from its blur (gathers serialize on TPU; sampling every point from
+    every ring's blur was a |rings|x waste — see freak._sample)."""
+    import numpy as _np
+
     blurs = [gaussian_blur(img, sig) for (_r, _n, sig) in RINGS]
     px = xy[:, 0:1] + offsets[..., 1]
     py = xy[:, 1:2] + offsets[..., 0]
-    pts = jnp.stack([px, py], -1).reshape(-1, 2)
-    out = jnp.zeros(px.shape, jnp.float32)
-    rid = jnp.asarray(ring_id)[None, :]
+    rid_np = _np.asarray(ring_id)
+    N = px.shape[0]
+    parts, col_order = [], []
     for r, b in enumerate(blurs):
-        vals = bilinear_sample(b, pts).reshape(px.shape)
-        out = jnp.where(rid == r, vals, out)
-    return out
+        cols = _np.nonzero(rid_np == r)[0]
+        if cols.size == 0:
+            continue
+        pr = jnp.stack([px[:, cols], py[:, cols]], -1).reshape(-1, 2)
+        parts.append(bilinear_sample(b, pr).reshape(N, cols.size))
+        col_order.append(cols)
+    inv = _np.argsort(_np.concatenate(col_order))
+    return jnp.concatenate(parts, axis=1)[:, inv]
 
 
 def orientations(img, xy, valid, *, pattern_scale: float = 1.0,

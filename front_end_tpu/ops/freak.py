@@ -75,19 +75,31 @@ def _retina():
 
 def _sample(img, xy, offsets, ring_id):
     """offsets (N,P,2)[dy,dx] -> samples (N,P), each point from its
-    ring's blur level."""
+    ring's blur level.
+
+    ring_id is STATIC (numpy), so each ring's pattern points are known
+    at trace time: gather ONLY those columns from that ring's blur
+    instead of sampling every point from every blur (8 rings x N x P
+    gathers -> N x P; gathers serialize on TPU, so this is ~8x)."""
+    import numpy as _np
+
     pts_np, _rid, sigmas, _dp, _op = _retina()
     del pts_np
     blurs = [gaussian_blur(img, float(s)) for s in sigmas]
     px = xy[:, 0:1] + offsets[..., 1]
     py = xy[:, 1:2] + offsets[..., 0]
-    flat = jnp.stack([px, py], -1).reshape(-1, 2)
-    out = jnp.zeros(px.shape, jnp.float32)
-    rid = jnp.asarray(ring_id)[None, :]
+    rid_np = _np.asarray(ring_id)
+    N, P = px.shape
+    parts, col_order = [], []
     for r, b in enumerate(blurs):
-        vals = bilinear_sample(b, flat).reshape(px.shape)
-        out = jnp.where(rid == r, vals, out)
-    return out
+        cols = _np.nonzero(rid_np == r)[0]
+        if cols.size == 0:
+            continue
+        pr = jnp.stack([px[:, cols], py[:, cols]], -1).reshape(-1, 2)
+        parts.append(bilinear_sample(b, pr).reshape(N, cols.size))
+        col_order.append(cols)
+    inv = _np.argsort(_np.concatenate(col_order))
+    return jnp.concatenate(parts, axis=1)[:, inv]
 
 
 def orientations(img, xy, valid, *, pattern_scale: float = 1.0):
