@@ -111,8 +111,8 @@ def main():
             ate = run_windowed_ate(ba_every, iters)
             rows.append(f"| windowed | {ba_every} | {iters} | {fps:.1f} | "
                         f"{ate:.4f} |")
-            print(rows[-1], flush=True)
-    print("\n".join(rows[:3]))
+            print(f"  measured: {rows[-1]}", flush=True)
+    print("\n".join(rows))
 
 
 if __name__ == "__main__":

@@ -368,6 +368,17 @@ def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
         ax.legend(frameon=False, fontsize=7, labelcolor=INK)
         paths.append(_save(fig, os.path.join(out_dir,
                                              "recorded_counters.png")))
+    # non-count series (e.g. ba_rms_px) get their own axes — units differ
+    others = [(k, v) for k, v in sorted(counters.items())
+              if not k.startswith("n_")]
+    for i, (k, v) in enumerate(others):
+        fig, ax = plt.subplots(figsize=(4.8, 2.6))
+        ax.plot(range(len(v)), v, color=CAT[(i + 1) % len(CAT)],
+                linewidth=1.5, zorder=3)
+        _style(ax, title=f"Recorded {k} — {plat}", xlabel="frame",
+               ylabel=k)
+        paths.append(_save(fig, os.path.join(out_dir,
+                                             f"recorded_{k}.png")))
     return paths
 
 
@@ -428,6 +439,8 @@ def generate_report(study_dir: str | None, out_dir: str, *,
             sections.append("")
 
     for rec in records or []:
+        if not os.path.exists(rec) and os.path.exists(rec + ".npz"):
+            rec = rec + ".npz"       # save_log appends the extension
         if os.path.exists(rec):
             sections.append(f"## Recorded run: `{os.path.basename(rec)}`\n")
             figs += plot_recorded_run(rec, out_dir)

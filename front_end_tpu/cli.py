@@ -224,7 +224,6 @@ def cmd_vo(args):
     from front_end_tpu.utils import checkpoint as ckpt_mod
     n_done = 0
     prior_poses = []
-    resume_state = None
     if args.resume:
         import json as json_mod
         with open(args.resume + ".meta.json") as f:
@@ -264,9 +263,12 @@ def cmd_vo(args):
             lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
         for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
             if tlog is not None:
+                # the fetch must sit INSIDE the timed region:
+                # block_until_ready can return before execution
+                # finishes on the remote-TPU backend (see bench._sync)
                 with telemetry.FrameClock(tlog):
                     state, out = step(state, l, r)
-                    jax.block_until_ready(out.frame.pose)
+                    pose_np = np.asarray(out.frame.pose)
                 tlog.count("n_detect_l", out.frame.n_detect_l)
                 tlog.count("n_stereo", out.frame.n_stereo)
                 tlog.count("n_inliers", out.frame.n_inliers)
@@ -274,13 +276,15 @@ def cmd_vo(args):
                 tlog.count("ba_rms_px", out.ba_rms_px)
             else:
                 state, out = step(state, l, r)
-            poses_list.append(np.array(out.frame.pose))
+                pose_np = np.array(out.frame.pose)
+            poses_list.append(pose_np)
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.frame.n_stereo)} "
                       f"inliers={int(out.frame.n_inliers)} "
                       f"tracked={int(out.n_tracked)} "
                       f"ba_rms={float(out.ba_rms_px):.2f}px")
-        poses = np.stack(poses_list)
+        poses = (np.stack(poses_list) if poses_list
+                 else np.zeros((0, 4, 4)))
     else:
         state = vo.init_state(rig, cfg)
         if args.resume:
@@ -288,28 +292,30 @@ def cmd_vo(args):
         step = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, cfg))
         for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
             if tlog is not None:
-                with telemetry.FrameClock(tlog):
+                with telemetry.FrameClock(tlog):     # fetch = sync
                     state, out = step(state, l, r)
-                    jax.block_until_ready(out.pose)
+                    pose_np = np.asarray(out.pose)
                 tlog.count("n_detect_l", out.n_detect_l)
                 tlog.count("n_stereo", out.n_stereo)
                 tlog.count("n_tracks", out.n_tracks)
                 tlog.count("n_inliers", out.n_inliers)
             else:
                 state, out = step(state, l, r)
-            poses_list.append(np.array(out.pose))
+                pose_np = np.array(out.pose)
+            poses_list.append(pose_np)
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.n_stereo)} "
                       f"inliers={int(out.n_inliers)}")
-        poses = np.stack(poses_list) if poses_list else np.eye(4)[None]
+        poses = (np.stack(poses_list) if poses_list
+                 else np.zeros((0, 4, 4)))
     print(f"processed {len(poses)} frames"
           + (" (windowed BA mode)" if args.window else ""))
     if tlog is not None:
-        telemetry.save_log(args.record, tlog, meta={
+        rec_path = telemetry.save_log(args.record, tlog, meta={
             "descriptor": args.descriptor, "window": bool(args.window),
             "platform": str(jax.devices()[0]),
             "resolution": f"{rig.height}x{rig.width}"})
-        print(f"telemetry recording -> {args.record}")
+        print(f"telemetry recording -> {rec_path}")
     if args.save_state:
         import json as json_mod
         ckpt_mod.save_pytree(args.save_state, state)
@@ -319,7 +325,7 @@ def cmd_vo(args):
                            "window": bool(args.window),
                            "descriptor": args.descriptor}, f)
         print(f"state -> {args.save_state} (+ .traj.npy, .meta.json)")
-    if gt is not None:
+    if gt is not None and len(poses):
         n = min(len(poses), len(gt))
         ate = metrics.ate_rmse(poses[:n, :3, 3], gt[:n, :3, 3])
         print(f"ATE RMSE: {ate:.3f} m")

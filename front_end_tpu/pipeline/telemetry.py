@@ -74,6 +74,7 @@ def save_log(path: str, log: TelemetryLog, meta: dict | None = None):
         arrs[f"counter_{k}"] = np.asarray(v, np.float64)
     arrs["_meta"] = np.frombuffer(
         json.dumps(meta or {}).encode(), dtype=np.uint8)
+    path = path if path.endswith(".npz") else path + ".npz"
     np.savez(path, **arrs)
     return path
 
@@ -85,6 +86,8 @@ def load_log(path: str):
 
     import numpy as np
 
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     stages, counters, meta = {}, {}, {}
     with np.load(path) as z:
         for k in z.files:

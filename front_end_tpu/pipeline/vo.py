@@ -291,7 +291,7 @@ def vo_step(state: VOState, left, right, rig: StereoRig,
     return new_state, out
 
 
-def swap_descriptor(state: VOState, rig: StereoRig,
+def swap_descriptor(state: VOState,
                     new_cfg: VOConfig) -> VOState:
     """Mid-stream descriptor reconfig — the `setDetector` service
     (`/root/reference/src/StereoCamera.cpp:422-521`) as a state

@@ -15,13 +15,20 @@ import jax
 import numpy as np
 
 
+def _npz_path(path: str) -> str:
+    """np.savez appends '.npz' to extensionless paths; np.load does not.
+    Normalize so `save_pytree(p)` and `load_pytree(p)` round-trip for
+    ANY p the user types."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_pytree(path: str, tree) -> int:
     """Write a pytree of arrays to `path` (.npz).  Returns leaf count."""
     leaves = jax.tree_util.tree_leaves(tree)
     # 8-digit zero-pad: keys are paired with template leaves by sorted()
     # order on load, which must stay lexicographic == numeric
     arrs = {f"leaf_{i:08d}": np.asarray(l) for i, l in enumerate(leaves)}
-    np.savez(path, **arrs)
+    np.savez(_npz_path(path), **arrs)
     return len(leaves)
 
 
@@ -33,7 +40,7 @@ def load_pytree(path: str, template):
     fails loudly instead of resuming garbage.
     """
     t_leaves, treedef = jax.tree_util.tree_flatten(template)
-    with np.load(path) as z:
+    with np.load(_npz_path(path)) as z:
         keys = sorted(z.files)
         if len(keys) != len(t_leaves):
             raise ValueError(

@@ -75,7 +75,7 @@ def test_mid_stream_descriptor_swap_carries_pose():
                             jnp.asarray(rights[t]))
     pose_before = np.array(state.pose)
 
-    state2 = vo.swap_descriptor(state, rig, cfg_b)
+    state2 = vo.swap_descriptor(state, cfg_b)
     assert state2.prev.bits.shape[1] == cfg_b.desc_dim
     np.testing.assert_array_equal(np.array(state2.pose), pose_before)
 
