@@ -100,6 +100,31 @@ class TestWindowVO:
         # both must actually track (sanity floor)
         assert ate_win < 0.2, ate_win
 
+    def test_long_window_scales(self):
+        """The long-axis scaling claim (SURVEY §5): the window length is
+        a config, not a constant — a 6-frame window (2x the reference's
+        hard-coded 3, `front_end_window_node.cpp:6`) must run the same
+        jitted step, fill all 6 pose slots and refine with finite cost."""
+        lefts, rights = make_planar_sequence(n_frames=8)
+        rig, vcfg = _rig(), _cfg()
+        cfg = window_vo.WindowVOConfig.create(vcfg, window=6, ba_every=2,
+                                              ba_iters=2)
+        state = window_vo.init_state(rig, cfg)
+        assert state.win.poses.shape == (6, 4, 4)
+        step = jax.jit(
+            lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, cfg))
+        outs = []
+        for t in range(8):
+            state, out = step(state, jnp.asarray(lefts[t]),
+                              jnp.asarray(rights[t]))
+            outs.append(out)
+        assert bool(np.asarray(state.win.pose_valid).all())
+        ran = [bool(o.ba_ran) for o in outs]
+        assert any(ran[6:])                  # BA ran once window filled
+        last_ba = [o for o in outs if bool(o.ba_ran)][-1]
+        assert np.isfinite(float(last_ba.ba_cost))
+        assert float(last_ba.ba_rms_px) < 1.0
+
     def test_run_sequence_scan(self):
         lefts, rights = make_planar_sequence(n_frames=5)
         rig, vcfg = _rig(), _cfg()
