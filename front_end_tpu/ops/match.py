@@ -144,7 +144,8 @@ def _use_pallas_match(backend: str, *arrays) -> bool:
     """Backend policy.  "xla" forces the fused matrix formulation — the
     right choice INSIDE the jit-compiled VO pipeline, where XLA overlaps
     the matrix passes with neighbouring stages and a pallas_call is a
-    fusion barrier (measured: 252.6 vs 234.3 fps end-to-end).  "auto"
+    fusion barrier (measured fetch-synchronized, round 4: 281 vs 268
+    fps end-to-end).  "auto"
     picks the streaming kernel on TPU — 15x faster for standalone /
     service calls (0.05 ms vs 0.7 ms), where dispatch is the boundary
     anyway.  "pallas" forces the kernel (tests)."""

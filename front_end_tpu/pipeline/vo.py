@@ -195,12 +195,11 @@ def _extract_frame(left, right, tl, tr, rig: StereoRig, cfg: VOConfig):
         dl, dr = brief_kernel.describe_pair_pallas(
             sml, smr, kl.xy, kr.xy, cfg.desc_bytes)
     else:
-        # Production BRIEF path: dense pad-once bitplanes.  Measured on
-        # the KITTI-res pair (bench_brief.py, TPU v5e): dense XLA 2.4 ms
-        # with the box smooth fused almost free (2.45 ms total) vs the
-        # Pallas roll kernel at 3.6 ms + 1.1 ms separate smooth — XLA's
-        # fusion wins here, so Pallas stays opt-in (descriptor=
-        # "brief_pallas").
+        # Production BRIEF path: dense pad-once bitplanes.  XLA's
+        # fusion beats the Pallas roll kernel here — measured end-to-end
+        # fetch-synchronized (round 4): 279 fps dense vs 213 fps
+        # brief_pallas at KITTI res — so Pallas stays opt-in
+        # (descriptor="brief_pallas").
         sml, smr = brief_mod.smooth(left), brief_mod.smooth(right)
         dl = brief_mod.describe_dense(sml, kl.xy, cfg.desc_bytes)
         dr = brief_mod.describe_dense(smr, kr.xy, cfg.desc_bytes)
