@@ -133,12 +133,10 @@ def _detect_from_map(smap, thresholds, cfg: GridConfig) -> GridDetections:
     ch, cw = _cell_dims(H, W, cfg)
     Gr, Gc = cfg.grid_rows, cfg.grid_cols
 
-    # crop to whole cells, then (Gr, Gc, ch*cw) cell view
-    s = smap[:Gr * ch, :Gc * cw]
-    cells = s.reshape(Gr, ch, Gc, cw).transpose(0, 2, 1, 3).reshape(
-        Gr, Gc, ch * cw)
+    # crop to whole cells; (Gr, ch, Gc, cw) cell tensor
+    s4 = smap[:Gr * ch, :Gc * cw].reshape(Gr, ch, Gc, cw)
 
-    counts = jnp.sum(cells > 0, axis=-1)
+    counts = jnp.sum(s4 > 0, axis=(1, 3))
 
     # reference controller (live_stereo.cpp:294-318)
     err = counts.astype(jnp.float32) - cfg.cell_set_points()
@@ -146,11 +144,38 @@ def _detect_from_map(smap, thresholds, cfg: GridConfig) -> GridDetections:
     delta = jnp.where(err > 0, 1.0, -1.0) * move
     new_t = jnp.clip(thresholds + delta, cfg.min_threshold, cfg.max_threshold)
 
-    # per-cell top-k
+    # LOSSLESS 2x2 pre-pool before the top-k: cv2-exact NMS annihilates
+    # score ties, so no two survivors are 8-adjacent and any 2x2 block
+    # holds at most ONE — max-pooling quarters the selection problem
+    # exactly (3x3 would not: survivors can sit 2 px apart).  Built from
+    # strided slices (lane shuffles), NOT a blocked transpose — the
+    # transpose formulation cost more than the sort it saved.
+    s4p = jnp.pad(s4, ((0, 0), (0, ch % 2), (0, 0), (0, cw % 2)))
+    colA, colB = s4p[..., 0::2], s4p[..., 1::2]
+    m1 = jnp.maximum(colA, colB)                 # (Gr, ch2, Gc, pw)
+    w1 = colB > colA                             # col sub-offset at (row, pxc)
+    rowA, rowB = m1[:, 0::2], m1[:, 1::2]
+    pooled = jnp.maximum(rowA, rowB)             # (Gr, ph, Gc, pw)
+    w2 = rowB > rowA                             # row sub-offset at (pyc, pxc)
+    ph, pw = pooled.shape[1], pooled.shape[3]
+    ch2 = m1.shape[1]
+
+    cells = pooled.transpose(0, 2, 1, 3).reshape(Gr, Gc, ph * pw)
+
+    # per-cell top-k over the pooled grid
     k = cfg.cell_capacity
-    top, flat_idx = _topk_2stage(cells, k, cfg.chunk_size, cfg.chunk_topk)
-    cy = flat_idx // cw
-    cx = flat_idx % cw
+    top, pool_idx = _topk_2stage(cells, k, cfg.chunk_size, cfg.chunk_topk)
+    pyc = pool_idx // pw                         # (Gr, Gc, k) pooled row
+    pxc = pool_idx % pw
+    # reconstruct full-res cell coords from the winner masks
+    w2c = w2.transpose(0, 2, 1, 3).reshape(Gr, Gc, ph * pw)
+    rsub = jnp.take_along_axis(w2c, pool_idx, axis=-1)
+    row = 2 * pyc + rsub.astype(jnp.int32)       # (Gr, Gc, k) in [0, ch2)
+    w1c = w1.transpose(0, 2, 1, 3).reshape(Gr, Gc, ch2 * pw)
+    csub = jnp.take_along_axis(w1c, row * pw + pxc, axis=-1)
+    col = 2 * pxc + csub.astype(jnp.int32)
+    cy = jnp.minimum(row, ch - 1)
+    cx = jnp.minimum(col, cw - 1)
     row0 = jnp.arange(Gr, dtype=jnp.int32)[:, None, None] * ch
     col0 = jnp.arange(Gc, dtype=jnp.int32)[None, :, None] * cw
     ys = (cy + row0).reshape(-1)
