@@ -64,9 +64,12 @@ class TestWindowVO:
         np.testing.assert_allclose(
             p[:, 0], gt[:, 0] + (p[0, 0] - gt[0, 0]), atol=0.05)
 
-    def test_window_not_worse_than_frame_to_frame(self):
-        """On a noisy sequence the BA-refined trajectory must be at least
-        as good as pure frame-to-frame integration."""
+    def test_window_beats_frame_to_frame(self):
+        """On a noisy sequence the BA-refined trajectory must BEAT pure
+        frame-to-frame integration — the flagship feature's value
+        proposition, demanded (not just 'not worse'): with the top-K
+        observation-count landmark selection the measured ratios across
+        seeds 9-12 are 0.55-0.90."""
         n = 8
         lefts, rights = _noisy_sequence(n_frames=n)
         rig, vcfg = _rig(), _cfg()
@@ -95,8 +98,9 @@ class TestWindowVO:
 
         ate_plain = np.sqrt(np.mean(np.sum((plain - gt) ** 2, -1)))
         ate_win = np.sqrt(np.mean(np.sum((win - gt) ** 2, -1)))
-        # windowed BA must not lose; on noisy data it usually wins
-        assert ate_win <= ate_plain * 1.10 + 1e-3, (ate_win, ate_plain)
+        # a measured WIN (worst observed seed ratio 0.90; 0.97 absorbs
+        # platform noise without ever accepting a loss)
+        assert ate_win <= ate_plain * 0.97, (ate_win, ate_plain)
         # both must actually track (sanity floor)
         assert ate_win < 0.2, ate_win
 
