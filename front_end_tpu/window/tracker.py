@@ -170,19 +170,25 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
         track_len=store.track_len + hit_t.astype(jnp.int32))
 
     # ---- allocate new landmarks (newLandmarkVertex) -------------------
-    from front_end_tpu.ops.dense_select import lookup
+    from front_end_tpu.ops.dense_select import lookup, segment_min
 
     is_new = cur_valid & ~tracked
-    # free slots: invalid or stale, oldest first
+    # free slots: invalid or stale.  Each new feature (rank r among the
+    # frame's new features) claims the r-th stale slot in INDEX order —
+    # a cumsum ranking inverted by one dense compare.  The previous
+    # oldest-first policy needed a full argsort over the M slots
+    # (~0.8 ms at M=4608, the hottest op in the tracker); among DEAD
+    # slots the recycling order is policy-free, so the sort bought
+    # nothing.  Never overwrite live landmarks: allocation stops at the
+    # free-slot count.
     stale = ~store.valid | (fidx - store.last_seen > cfg.max_age)
-    priority = jnp.where(stale, store.last_seen, jnp.int32(2**30))
-    order = jnp.argsort(priority)                      # free slots first
-    # rank new features; feature with rank r claims order[r].  Never
-    # overwrite live landmarks: allocation stops at the free-slot count.
+    rank_slot = jnp.cumsum(stale.astype(jnp.int32)) - 1   # (M,)
     n_free = jnp.sum(stale)
-    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # (N,)
     can_alloc = is_new & (rank < n_free)
-    slot_new = lookup(order, jnp.clip(rank, 0, M - 1))
+    slot_for_rank = segment_min(
+        jnp.arange(M), jnp.where(stale, rank_slot, N), N, fill=M - 1)
+    slot_new = lookup(slot_for_rank, jnp.clip(rank, 0, N - 1))
     nslot = jnp.where(can_alloc, slot_new, M)
 
     hit_n, put_n = dense_writes(nslot)
