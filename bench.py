@@ -198,6 +198,45 @@ def main():
     fps_feed = _bench_feed_inclusive(step, vo.init_state(rig, cfg),
                                      lefts, rights, rig)
 
+    # ---- accuracy: rendered-world 6-DoF ATE (plain + windowed) ---------
+    # the bench line should carry the accuracy story too: 40 frames of
+    # the ray-cast corridor (sim/render.py) with real rotation, scored
+    # against exact ground truth.  Bound: tests/test_rendered_world.py
+    # additionally checks these against the cv2-reference VO.
+    from front_end_tpu.eval import metrics as metrics_mod
+    from front_end_tpu.geometry.camera import StereoRig
+    from front_end_tpu.sim import render as render_mod
+
+    rrng = np.random.RandomState(11)
+    rrig = StereoRig.create(fx=200.0, cx=127.5, cy=95.5, baseline=0.3,
+                            width=256, height=192)
+    scene = render_mod.corridor_scene(rrng, tex_size=384)
+    gtT = render_mod.corridor_trajectory(40)
+    rl, rr = render_mod.render_stereo_sequence(scene, rrig, gtT)
+    rcfg = vo.VOConfig(
+        grid=grid.GridConfig(grid_rows=2, grid_cols=3, cell_capacity=128,
+                             set_point=700, init_threshold=12.0),
+        desc_bytes=32, ransac_hyps=192, ransac_threshold=0.12,
+        max_disparity=60.0, min_track_inliers=10)
+
+    def run_traj(stepper, s, pose_of):
+        poses = []
+        for t in range(rl.shape[0]):
+            s, o = stepper(s, jnp.asarray(rl[t]), jnp.asarray(rr[t]))
+            poses.append(np.asarray(pose_of(o)))
+        return np.stack(poses)
+
+    rstep = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rrig, rcfg))
+    traj_plain = run_traj(rstep, vo.init_state(rrig, rcfg), lambda o: o.pose)
+    ate_plain = metrics_mod.ate_rmse(traj_plain[:, :3, 3], gtT[:, :3, 3])
+    rwcfg = window_vo.WindowVOConfig.create(rcfg, window=3, ba_every=2,
+                                            ba_iters=2)
+    rwstep = jax.jit(
+        lambda s, l, r: window_vo.window_vo_step(s, l, r, rrig, rwcfg))
+    traj_win = run_traj(rwstep, window_vo.init_state(rrig, rwcfg),
+                        lambda o: o.frame.pose)
+    ate_win = metrics_mod.ate_rmse(traj_win[:, :3, 3], gtT[:, :3, 3])
+
     # ---- live window mode (tracker + windowed BA) ----------------------
     # operating point ba_every=2, iters=2: the measured (fps, ATE) curve
     # (bench_window.py, reports/r4/WINDOW_TRADEOFF.md) — >=200 fps with
@@ -237,6 +276,8 @@ def main():
             "fps_windowed": round(fps_win, 2),
             "windowed_ba_ran_last": bool(wout.ba_ran),
             "windowed_n_tracked_last": int(wout.n_tracked),
+            "ate_rendered_world_m": round(float(ate_plain), 4),
+            "ate_rendered_world_windowed_m": round(float(ate_win), 4),
         },
     }
     print(json.dumps(result))
