@@ -62,13 +62,21 @@ TYPES = {"9_16": (CIRCLE_16, 9), "7_12": (CIRCLE_12, 7),
 def _arc_margin(d, K: int):
     """max over circular starts s of min over window j<K of d[(s+j) % n].
 
-    d: (n, ..., H, W) per-circle-pixel margins."""
+    d: (n, ..., H, W) per-circle-pixel margins.  Sparse-table doubling:
+    2^a-wide window mins combine pairwise, an arbitrary K-window is the
+    min of two overlapping 2^a-windows — BIT-exact (min is associative
+    and idempotent) at ~log2(K) passes instead of K-1 (the dense FAST
+    stage is elementwise-compute-bound; same trick as the Pallas
+    kernel's `_arc_margin`)."""
     n = d.shape[0]
-    dd = jnp.concatenate([d, d[:K - 1]], axis=0)
-    m = dd[:n]
-    for j in range(1, K):
-        m = jnp.minimum(m, dd[j:j + n])
-    return jnp.max(m, axis=0)
+    w = d
+    width = 1
+    while width * 2 <= K:
+        w = jnp.minimum(w, jnp.roll(w, -width, axis=0))
+        width *= 2
+    if width < K:
+        w = jnp.minimum(w, jnp.roll(w, -(K - width), axis=0))
+    return jnp.max(w, axis=0)
 
 
 def _quick_margin(d):
