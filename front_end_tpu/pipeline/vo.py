@@ -230,11 +230,16 @@ def _estimate_motion(key, cur: FrameFeatures, prev: FrameFeatures,
         prev.kps, Descriptors(bits=prev.bits),
         box=cfg.track_box, ratio=cfg.lowe_ratio, backend="xla",
         norm=cfg.desc_norm)
-    pair_valid = (tm.valid & cur.stereo_valid
-                  & lookup(prev.stereo_valid, tm.train_idx))
-    Xp = take_rows(prev.X, tm.train_idx)             # (N, 3) previous frame
+    # one fused gather for everything keyed by tm.train_idx: the one-hot
+    # (N, N) factor is the expensive part of take_rows — build it once
+    # for the concatenated [X | uv4 | stereo_valid] payload
+    payload = jnp.concatenate(
+        [prev.X, prev.uv4, prev.stereo_valid[:, None].astype(jnp.float32)],
+        axis=-1)                                     # (N, 8)
+    g = take_rows(payload, tm.train_idx)
+    Xp, uvp = g[:, :3], g[:, 3:7]
+    pair_valid = tm.valid & cur.stereo_valid & (g[:, 7] > 0.5)
     Xc = cur.X                                       # (N, 3) current frame
-    uvp = take_rows(prev.uv4, tm.train_idx)
 
     if cfg.motion == "essential":
         res = essential_mod.essential_scaled_motion(
