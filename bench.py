@@ -177,6 +177,23 @@ def main():
     _sync(outs.pose[-1])
     fps_scan = reps * n_frames / (time.perf_counter() - t0)
 
+    # ---- BRIEF-16 variant: the reference's own live descriptor width --
+    # (live_stereo.cpp:359 ran BriefDescriptorExtractor(16) = 128 bits).
+    # +37% fps for ~6% worse rendered-world ATE; production keeps the
+    # accuracy-optimal 256-bit config as the headline.
+    bcfg = cfg.replace(desc_bytes=16)
+    bstep = jax.jit(lambda s, l, r: vo.vo_step(s, l, r, rig, bcfg))
+    bstate = vo.init_state(rig, bcfg)
+    for t in range(2):
+        bstate, bout = bstep(bstate, L[t], R[t])
+    _sync(bout.pose)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        for t in range(n_frames):
+            bstate, bout = bstep(bstate, L[t], R[t])
+    _sync(bout.pose)
+    fps_b16 = reps * n_frames / (time.perf_counter() - t0)
+
     # ---- subpix variant: fps cost of cornerSubPix refinement -----------
     # (ATE effect measured by tests/test_rendered_world.py: +3% error on
     # the rendered world with the 0.75 px cap, 10x worse uncapped — so
@@ -272,6 +289,7 @@ def main():
             "fps_feed_inclusive": (round(fps_feed, 2)
                                    if fps_feed else None),
             "fps_subpix_on": round(fps_subpix, 2),
+            "fps_brief16": round(fps_b16, 2),
             "fps_device_scan": round(fps_scan, 2),
             "fps_windowed": round(fps_win, 2),
             "windowed_ba_ran_last": bool(wout.ba_ran),
