@@ -67,42 +67,64 @@ def _local_cost(poses, X, meas, vis_w, rig, huber_px):
 
 
 def _sharded_body(poses0, X0, meas, vis_w, rig, *, huber_px, lam0, iters):
-    """Runs on each shard; X0/meas/vis_w are the LOCAL landmark blocks."""
+    """Runs on each shard; X0/meas/vis_w are the LOCAL landmark blocks.
+
+    Mirrors `schur.ba_solve`'s one-linearization-per-iteration LM: the
+    last ACCEPTED state's psum-reduced camera system rides in the carry,
+    and each iteration needs exactly ONE all-reduce — the tentative
+    state's packed (Hpp | S_off | rhs | cost) vector (the cost of a
+    state is a by-product of its normal equations).  W(W+1)·36 + 6W + 1
+    floats at W=3 = 451; collective latency, not volume, dominates at
+    small shard sizes, so one fused psum per iteration is the floor."""
     psum = partial(jax.lax.psum, axis_name=AXIS)
-    cost0 = psum(_local_cost(poses0, X0, meas, vis_w, rig, huber_px))
+
+    def local_ne_packed(poses, X):
+        Hpp_p, Hpl, Hll, bp_p, bl, cost_p = schur._normal_equations(
+            poses, X, meas, vis_w, rig, huber_px)
+        packed = psum(jnp.concatenate(
+            [Hpp_p.ravel(), bp_p.ravel(), cost_p[None]]))
+        W = Hpp_p.shape[0]
+        Hpp = packed[:36 * W].reshape(W, 6, 6)
+        bp = packed[36 * W:42 * W].reshape(W, 6)
+        cost = packed[42 * W]
+        return (Hpp, Hpl, Hll, bp, bl), cost
+
+    ne0, cost0 = local_ne_packed(poses0, X0)
 
     def step(carry, _):
-        poses, X, lam, cost = carry
-        Hpp_p, Hpl, Hll, bp_p, bl, _ = schur._normal_equations(
-            poses, X, meas, vis_w, rig, huber_px)
+        poses, X, lam, cost, ne = carry
+        Hpp, Hpl, Hll, bp, bl = ne
         S_off_p, rhs_p, Hll_inv = schur._schur_reduce(
-            Hpp_p, Hpl, Hll, bp_p, bl, lam)
-        # the reduced camera system is the ONLY cross-shard quantity.
-        # ONE fused all-reduce: Hpp (W,6,6) + S_off (W,W,6,6) + rhs (W,6)
-        # pack into a single W(W+1)·36 + 6W float vector — at W=3 that is
-        # 450 floats, so the three separate psums were pure launch/sync
-        # latency, the dominant per-iteration cost at small shard sizes.
-        W = Hpp_p.shape[0]
+            Hpp, Hpl, Hll, bp, bl, lam)
+        # S_off/rhs are built from the LOCAL landmark blocks and must be
+        # reduced; Hpp/bp in the carry are already global.  NB the
+        # global bp is re-reduced inside rhs_p's formula via bl, so pass
+        # the local contribution convention: rhs_p = bp_local? No — bp
+        # here is global and identical on every shard, so rhs_p =
+        # bp_global - psum(HplHinv·bl_local) requires subtracting the
+        # duplicated bp (n-1) times; instead reduce only the landmark
+        # term.
+        W = Hpp.shape[0]
+        lm_term = bp - rhs_p                     # = HplHinv·bl (local)
         packed = psum(jnp.concatenate(
-            [Hpp_p.ravel(), S_off_p.ravel(), rhs_p.ravel()]))
-        n_hpp, n_soff = 36 * W, 36 * W * W
-        Hpp = packed[:n_hpp].reshape(W, 6, 6)
-        S_off = packed[n_hpp:n_hpp + n_soff].reshape(W, W, 6, 6)
-        rhs = packed[n_hpp + n_soff:].reshape(W, 6)
+            [S_off_p.ravel(), lm_term.ravel()]))
+        S_off = packed[:36 * W * W].reshape(W, W, 6, 6)
+        rhs = bp - packed[36 * W * W:].reshape(W, 6)
         dxi = schur._assemble_and_solve(Hpp, S_off, rhs, lam)
         dX = schur._back_substitute(Hll_inv, bl, Hpl, dxi)
         new_poses, new_X = schur._apply(poses, X, dxi, dX)
-        new_cost = psum(_local_cost(new_poses, new_X, meas, vis_w, rig,
-                                    huber_px))
+        new_ne, new_cost = local_ne_packed(new_poses, new_X)
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
         X = jnp.where(accept, new_X, X)
         cost = jnp.where(accept, new_cost, cost)
+        ne = jax.tree.map(lambda a, b: jnp.where(accept, a, b), new_ne, ne)
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e8)
-        return (poses, X, lam, cost), None
+        return (poses, X, lam, cost, ne), None
 
-    (poses, X, _, cost), _ = jax.lax.scan(
-        step, (poses0, X0, jnp.asarray(lam0), cost0), None, length=iters)
+    (poses, X, _, cost, _), _ = jax.lax.scan(
+        step, (poses0, X0, jnp.asarray(lam0), cost0, ne0), None,
+        length=iters)
 
     r = factors.residual(poses[None, :], X[:, None, :], meas, rig)
     r2 = jnp.sum(r * r, -1) * vis_w

@@ -152,26 +152,36 @@ def ba_solve(poses0, X0, meas, vis, rig: StereoRig, *, iters: int = 12,
     vis_w = jnp.asarray(vis, jnp.float32)
     meas = jnp.asarray(meas)
 
-    cost0 = _cost_only(poses0, X0, meas, vis_w, rig, huber_px)
+    # One linearization pass PER ITERATION instead of two: the normal-
+    # equation blocks of the last ACCEPTED state ride in the carry, the
+    # tentative state's NE pass doubles as its cost evaluation (its cost
+    # IS the robust cost at that state), and a rejected step simply
+    # keeps the carried blocks.  Identical LM decision sequence, ~40%
+    # fewer residual/Jacobian passes (iters+1 vs 2*iters).
+    ne0 = _normal_equations(poses0, X0, meas, vis_w, rig, huber_px)
+    cost0 = ne0[5]
 
     def step(carry, _):
-        poses, X, lam, cost = carry
-        Hpp, Hpl, Hll, bp, bl, _ = _normal_equations(
-            poses, X, meas, vis_w, rig, huber_px)
+        poses, X, lam, cost, (Hpp, Hpl, Hll, bp, bl) = carry
         S_off, rhs, Hll_inv = _schur_reduce(Hpp, Hpl, Hll, bp, bl, lam)
         dxi = _assemble_and_solve(Hpp, S_off, rhs, lam)
         dX = _back_substitute(Hll_inv, bl, Hpl, dxi)
         new_poses, new_X = _apply(poses, X, dxi, dX)
-        new_cost = _cost_only(new_poses, new_X, meas, vis_w, rig, huber_px)
+        nH = _normal_equations(new_poses, new_X, meas, vis_w, rig,
+                               huber_px)
+        new_cost = nH[5]
         accept = new_cost < cost
         poses = jnp.where(accept, new_poses, poses)
         X = jnp.where(accept, new_X, X)
         cost = jnp.where(accept, new_cost, cost)
+        ne = jax.tree.map(lambda new, old: jnp.where(accept, new, old),
+                          tuple(nH[:5]), (Hpp, Hpl, Hll, bp, bl))
         lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e8)
-        return (poses, X, lam, cost), cost
+        return (poses, X, lam, cost, ne), cost
 
-    (poses, X, _, cost), _ = jax.lax.scan(
-        step, (poses0, X0, jnp.asarray(lam0), cost0), None, length=iters)
+    (poses, X, _, cost, _), _ = jax.lax.scan(
+        step, (poses0, X0, jnp.asarray(lam0), cost0, tuple(ne0[:5])),
+        None, length=iters)
 
     r = factors.residual(poses[None, :], X[:, None, :], meas, rig)
     r2 = jnp.sum(r * r, -1) * vis_w
