@@ -211,6 +211,21 @@ def main():
     _sync(sout.pose)
     fps_subpix = reps * n_frames / (time.perf_counter() - t0)
 
+    # ---- host->device link bandwidth (context for fps_feed_inclusive) --
+    # distinct data each rep (the client dedupes repeats), completion
+    # proven by fetching one element back.  On this rig's remote tunnel
+    # this measures ~20-60 MB/s — the physical ceiling that makes
+    # fps_feed_inclusive a link number, not a pipeline number.
+    h2d = []
+    for _ in range(3):
+        blob = np.random.randint(0, 255, (8, rig.height, rig.width),
+                                 dtype=np.uint8)
+        t0 = time.perf_counter()
+        d = jax.device_put(blob)
+        _ = np.asarray(d[0, 0, 0])
+        h2d.append(blob.nbytes / 1e6 / (time.perf_counter() - t0))
+    h2d_mbps = float(np.median(h2d))
+
     # ---- end-to-end (disk -> native decode -> prefetch -> step) --------
     fps_feed = _bench_feed_inclusive(step, vo.init_state(rig, cfg),
                                      lefts, rights, rig)
@@ -288,6 +303,7 @@ def main():
             "motion_ok_last": bool(out.motion_ok),
             "fps_feed_inclusive": (round(fps_feed, 2)
                                    if fps_feed else None),
+            "h2d_link_mb_per_s": round(h2d_mbps, 1),
             "fps_subpix_on": round(fps_subpix, 2),
             "fps_brief16": round(fps_b16, 2),
             "fps_device_scan": round(fps_scan, 2),
