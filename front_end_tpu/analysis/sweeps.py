@@ -32,12 +32,19 @@ SPEEDS = ("slow", "medium", "fast")
 EXTRACTORS = ("PCL", "Nister", "BA", "WindowBA")
 
 
-def _condition_batch(key, rig, cat, n_points, batch, noise_px,
+def _condition_batch(wkeys, rig, cat, n_points, noise_px,
                      outlier_frac, with_noise, with_outliers):
-    """One condition: `batch` independent worlds with noise + outliers.
-    `with_noise`/`with_outliers` are STATIC apply flags (a zero sigma is
-    NOT a no-op — the reference's noise model always adds U(0,1) to y);
-    the magnitudes stay traced so one compilation serves every level."""
+    """One condition: independent worlds with noise + outliers, one per
+    row of `wkeys` (B, 2).  `with_noise`/`with_outliers` are STATIC
+    apply flags (a zero sigma is NOT a no-op — the reference's noise
+    model always adds U(0,1) to y); the magnitudes stay traced so one
+    compilation serves every level.
+
+    The per-world key axis is the DATA-PARALLEL axis: pass `wkeys`
+    sharded over a mesh (see `run_study(devices=...)`) and XLA
+    partitions every world independently — no collectives, the TPU
+    rendition of the reference's embarrassingly-parallel condition
+    fan-out (`bin/extractMotion:40-45`)."""
     def one(k):
         k1, k2, k3 = jax.random.split(k, 3)
         w = sim.sample_world(k1, rig, cat, n_points)
@@ -48,8 +55,7 @@ def _condition_batch(key, rig, cat, n_points, batch, noise_px,
             w, out_mask = sim.add_outliers(k3, w, rig, outlier_frac)
         return w, out_mask
 
-    keys = jax.random.split(key, batch)
-    return jax.vmap(one)(keys)
+    return jax.vmap(one)(wkeys)
 
 
 def _extract(method, key, w, rig, threshold):
@@ -69,12 +75,12 @@ def _extract(method, key, w, rig, threshold):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_points", "window", "batch", "iters", "huber_px", "with_noise",
+    "n_points", "window", "iters", "huber_px", "with_noise",
     "with_outliers"))
 @f32_precision
-def _window_condition_jit(key, rig: StereoRig, cat, n_points: int,
+def _window_condition_jit(wkeys, rig: StereoRig, cat, n_points: int,
                           noise_px, outlier_frac, *,
-                          window: int = 3, batch: int = 64,
+                          window: int = 3,
                           iters: int = 20, huber_px: float = 3.0,
                           with_noise: bool = True,
                           with_outliers: bool = True):
@@ -111,22 +117,34 @@ def _window_condition_jit(key, rig: StereoRig, cat, n_points: int,
         return (jnp.degrees(ang), terr,
                 jnp.sum(ww.vis & ww.valid[:, None]), res.rms_px)
 
-    keys = jax.random.split(key, batch)
-    return jax.vmap(one)(keys)
+    return jax.vmap(one)(wkeys)
+
+
+def _world_keys(key, batch, mesh=None):
+    """(B, 2) per-world keys, optionally sharded over `mesh`'s "worlds"
+    axis — the only step needed for device-parallel conditions: jit
+    propagates the argument sharding and every world runs on its shard."""
+    wkeys = jax.random.split(key, batch)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        wkeys = jax.device_put(wkeys, NamedSharding(mesh, P("worlds")))
+    return wkeys
 
 
 def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
                          noise_px: float, outlier_frac: float, *,
                          window: int = 3, batch: int = 64,
-                         iters: int = 20, huber_px: float = 3.0):
+                         iters: int = 20, huber_px: float = 3.0,
+                         mesh=None):
     """numpy wrapper over the jitted window-condition body (one compiled
     program per (shape, noise-branch) combination; eager dispatch costs
     ~0.7 ms/op through the remote TPU tunnel, ~20 s per condition)."""
     ang, terr, n_obs, rms = _window_condition_jit(
-        key, rig, sim.motion_category(speed), n_points=int(n_points),
+        _world_keys(key, batch, mesh), rig, sim.motion_category(speed),
+        n_points=int(n_points),
         noise_px=jnp.float32(noise_px),
         outlier_frac=jnp.float32(outlier_frac),
-        window=window, batch=batch, iters=iters, huber_px=huber_px,
+        window=window, iters=iters, huber_px=huber_px,
         with_noise=noise_px > 0, with_outliers=outlier_frac > 0)
     return {"rot_err_deg": np.asarray(ang),
             "trans_err_m": np.asarray(terr),
@@ -135,17 +153,17 @@ def run_window_condition(key, rig: StereoRig, speed: str, n_points: int,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "method", "n_points", "batch", "threshold", "with_noise",
+    "method", "n_points", "threshold", "with_noise",
     "with_outliers"))
 @f32_precision
-def _condition_jit(key, method: str, rig: StereoRig, cat,
+def _condition_jit(wkeys, method: str, rig: StereoRig, cat,
                    n_points: int, noise_px, outlier_frac,
-                   batch: int = 64, threshold: float = 0.08, *,
+                   threshold: float = 0.08, *,
                    with_noise: bool = True, with_outliers: bool = True):
-    worlds, out_mask = _condition_batch(key, rig, cat, n_points, batch,
+    worlds, out_mask = _condition_batch(wkeys, rig, cat, n_points,
                                         noise_px, outlier_frac,
                                         with_noise, with_outliers)
-    keys = jax.random.split(jax.random.fold_in(key, 1), batch)
+    ekeys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(wkeys)
 
     def one(k, w):
         H, n_inl = _extract(method, k, w, rig, threshold)
@@ -153,20 +171,21 @@ def _condition_jit(key, method: str, rig: StereoRig, cat,
         terr = jnp.linalg.norm(H[:3, 3] - w.Ht[:3, 3])
         return jnp.degrees(ang), terr, n_inl
 
-    return jax.vmap(one)(keys, worlds)
+    return jax.vmap(one)(ekeys, worlds)
 
 
 def run_condition(key, method: str, rig: StereoRig, speed: str,
                   n_points: int, noise_px: float, outlier_frac: float,
-                  batch: int = 64, threshold: float = 0.08):
+                  batch: int = 64, threshold: float = 0.08, mesh=None):
     """Returns per-world absolute motion errors: dict of arrays (batch,).
     One fully-jitted program per condition shape (see wrapper note on
     `run_window_condition`)."""
     ang, terr, n_inl = _condition_jit(
-        key, method, rig, sim.motion_category(speed),
+        _world_keys(key, batch, mesh), method, rig,
+        sim.motion_category(speed),
         n_points=int(n_points), noise_px=jnp.float32(noise_px),
         outlier_frac=jnp.float32(outlier_frac),
-        batch=batch, threshold=threshold,
+        threshold=threshold,
         with_noise=noise_px > 0, with_outliers=outlier_frac > 0)
     return {"rot_err_deg": np.asarray(ang),
             "trans_err_m": np.asarray(terr),
@@ -177,11 +196,24 @@ def run_study(out_dir: str, *, methods=EXTRACTORS, speeds=SPEEDS,
               curves=sim.OPERATING_CURVES, noises=(0.0,) + sim.NOISE_LEVELS,
               outliers=(0.0,) + sim.OUTLIER_LEVELS, batch: int = 64,
               rig: StereoRig | None = None, seed: int = 0,
-              ideal_only: bool = False, verbose: bool = True):
+              ideal_only: bool = False, verbose: bool = True,
+              devices: int | None = None):
     """The full `extractMotion` grid.  Resumable: conditions whose .npz
-    exists are skipped (`bin/extractMotion:59`)."""
+    exists are skipped (`bin/extractMotion:59`).
+
+    devices > 1 shards each condition's world batch over that many
+    devices (data parallelism over independent Monte-Carlo worlds; the
+    batch is rounded up to a multiple of the mesh size)."""
     rig = rig or bumblebee_rig()
     os.makedirs(out_dir, exist_ok=True)
+    mesh = None
+    if devices and devices > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()[:devices]
+        if len(devs) < devices:
+            raise ValueError(f"need {devices} devices, have {len(devs)}")
+        mesh = Mesh(np.array(devs), ("worlds",))
+        batch = -(-batch // devices) * devices
     done, ran = 0, 0
     if ideal_only:
         noises, outliers = (0.0,), (0.0,)
@@ -201,11 +233,11 @@ def run_study(out_dir: str, *, methods=EXTRACTORS, speeds=SPEEDS,
                         if method == "WindowBA":
                             res = run_window_condition(
                                 key, rig, speed, int(n_points), noise,
-                                frac, batch=batch)
+                                frac, batch=batch, mesh=mesh)
                         else:
                             res = run_condition(key, method, rig, speed,
                                                 int(n_points), noise, frac,
-                                                batch=batch)
+                                                batch=batch, mesh=mesh)
                         np.savez(path, **res)
                         ran += 1
                         if verbose:

@@ -58,7 +58,8 @@ def cmd_extract_motion(args):
         args.out, methods=tuple(args.methods.split(",")),
         speeds=tuple(args.speeds.split(",")),
         curves=tuple(int(c) for c in args.curves.split(",")),
-        batch=args.batch, ideal_only=args.ideal)
+        batch=args.batch, ideal_only=args.ideal,
+        devices=args.devices)
     print(json.dumps(stats))
 
 
@@ -389,6 +390,9 @@ def main(argv=None):
     e.add_argument("--curves", default="100,250,500")
     e.add_argument("--batch", type=int, default=64)
     e.add_argument("--ideal", action="store_true")
+    e.add_argument("--devices", type=int, default=None,
+                   help="shard each condition's world batch over N "
+                        "devices (Monte-Carlo data parallelism)")
     e.set_defaults(fn=cmd_extract_motion)
 
     bs = sub.add_parser("ba-scaling")

@@ -290,6 +290,29 @@ class TestSweepStudy:
         assert (np.median(hard["trans_err_m"])
                 >= np.median(ideal["trans_err_m"]))
 
+    def test_sharded_condition_matches_single_device(self):
+        """Monte-Carlo data parallelism: the same condition sharded over
+        the 8-device mesh must produce EXACTLY the single-device results
+        (same per-world keys -> same worlds; sharding is layout, not
+        math)."""
+        from jax.sharding import Mesh
+
+        from front_end_tpu.analysis import sweeps
+        from front_end_tpu.geometry.camera import bumblebee_rig
+
+        rig = bumblebee_rig()
+        key = jax.random.PRNGKey(3)
+        single = sweeps.run_condition(key, "PCL", rig, "slow", 128,
+                                      0.5, 0.1, batch=16)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("worlds",))
+        sharded = sweeps.run_condition(key, "PCL", rig, "slow", 128,
+                                       0.5, 0.1, batch=16, mesh=mesh)
+        np.testing.assert_allclose(sharded["rot_err_deg"],
+                                   single["rot_err_deg"], rtol=1e-5)
+        np.testing.assert_allclose(sharded["trans_err_m"],
+                                   single["trans_err_m"], rtol=1e-5,
+                                   atol=1e-7)
+
     def test_study_resumable(self, tmp_path):
         from front_end_tpu.analysis import sweeps
 
