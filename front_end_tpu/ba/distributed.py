@@ -70,12 +70,16 @@ def _sharded_body(poses0, X0, meas, vis_w, rig, *, huber_px, lam0, iters):
     """Runs on each shard; X0/meas/vis_w are the LOCAL landmark blocks.
 
     Mirrors `schur.ba_solve`'s one-linearization-per-iteration LM: the
-    last ACCEPTED state's psum-reduced camera system rides in the carry,
-    and each iteration needs exactly ONE all-reduce — the tentative
-    state's packed (Hpp | S_off | rhs | cost) vector (the cost of a
-    state is a by-product of its normal equations).  W(W+1)·36 + 6W + 1
-    floats at W=3 = 451; collective latency, not volume, dominates at
-    small shard sizes, so one fused psum per iteration is the floor."""
+    last ACCEPTED state's psum-reduced camera system rides in the carry.
+    Each iteration needs exactly TWO fused all-reduces, sequentially
+    dependent so they cannot merge: (1) the carried state's packed
+    (S_off | landmark-rhs-term) at the fresh damping — the solve's input;
+    (2) the tentative state's packed (Hpp | bp | cost) — the accept
+    decision's input, which depends on the step from (1).  See
+    `comm_audit` for the exact per-iteration float/byte count; at W=3
+    it is 469 floats (1876 B), so collective latency, not volume,
+    dominates at small windows — which is why each of the two is a
+    single fused vector rather than per-block psums."""
     psum = partial(jax.lax.psum, axis_name=AXIS)
 
     def local_ne_packed(poses, X):
@@ -174,6 +178,89 @@ def ba_solve_sharded(mesh: Mesh, poses0, X0, meas, vis, rig: StereoRig, *,
                                     jnp.asarray(meas), vis_w, rig)
     return schur.BAResult(poses=poses, landmarks=X, cost=cost, cost0=cost0,
                           rms_px=rms)
+
+
+def comm_audit(W: int, iters: int) -> dict:
+    """STATIC per-solve communication audit of `_sharded_body`.
+
+    Counted from the code, not measured: `local_ne_packed` psums
+    36W + 6W + 1 floats (Hpp | bp | cost); the in-step Schur psum moves
+    36W² + 6W floats (S_off | landmark rhs term).  One NE psum runs
+    before the scan; each of the `iters` scan steps runs one Schur psum
+    and one NE psum (sequentially dependent — the tentative state that
+    the NE psum scores is built FROM the Schur psum's solve, so they
+    cannot fuse).  The dryrun asserts the jaxpr's actual collective
+    count against this so a regression to per-block psums fails loudly.
+    """
+    ne = 36 * W + 6 * W + 1
+    schur_ = 36 * W * W + 6 * W
+    per_iter = ne + schur_
+    return {
+        "psums_per_iter": 2,
+        "floats_per_iter": per_iter,
+        "bytes_per_iter": 4 * per_iter,
+        "psums_per_solve": 1 + 2 * iters,
+        "bytes_per_solve": 4 * (ne + iters * per_iter),
+    }
+
+
+def count_collectives(fn, *args) -> int:
+    """Count all-reduce-family collective EXECUTIONS in `fn`'s jaxpr:
+    walks sub-jaxprs and multiplies `scan` bodies by their trip count,
+    so the result is collectives per call — the mechanical check behind
+    the comm audit."""
+    names = {"psum", "all_reduce", "psum2", "all_gather",
+             "reduce_scatter", "ppermute", "all_to_all"}
+
+    def walk(jaxpr) -> int:
+        n = 0
+        for eqn in jaxpr.eqns:
+            if eqn.primitive.name in names:
+                n += 1
+            mult = (eqn.params.get("length", 1)
+                    if eqn.primitive.name == "scan" else 1)
+            for v in eqn.params.values():
+                for sub in _subjaxprs(v):
+                    n += mult * walk(sub)
+        return n
+
+    def _subjaxprs(v):
+        # ClosedJaxpr/Jaxpr moved across jax versions; duck-type them
+        if hasattr(v, "jaxpr"):
+            yield v.jaxpr
+        elif hasattr(v, "eqns"):
+            yield v
+        elif isinstance(v, (tuple, list)):
+            for x in v:
+                yield from _subjaxprs(x)
+
+    return walk(jax.make_jaxpr(fn)(*args).jaxpr)
+
+
+def ba_solve_sharded_inline(mesh: Mesh, poses0, X0, meas, vis_w,
+                            rig: StereoRig, *, iters: int = 12,
+                            huber_px: float = 3.0,
+                            lam0: float = 1e-4) -> schur.BAResult:
+    """Landmark-sharded BA usable INSIDE an enclosing jit — the live
+    windowed pipeline's BA stage (`window/tracker.py:run_window_ba` with
+    a mesh).  Unlike `ba_solve_sharded` it neither jits nor caches: the
+    enclosing traced step (e.g. `window_vo_step`) owns compilation, and
+    shard_map composes with the surrounding program so XLA overlaps the
+    psums with neighbouring work.  L must be divisible by the mesh's
+    '{AXIS}' axis size."""
+    body = partial(_sharded_body, huber_px=float(huber_px),
+                   lam0=float(lam0), iters=int(iters))
+    spec_l = P(AXIS)
+    smapped = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), spec_l, spec_l, spec_l, P()),
+        out_specs=(P(), spec_l, P(), P(), P()),
+        check_vma=False)
+    poses, X, cost, cost0, rms = smapped(
+        jnp.asarray(poses0), jnp.asarray(X0), jnp.asarray(meas),
+        jnp.asarray(vis_w, jnp.float32), rig)
+    return schur.BAResult(poses=poses, landmarks=X, cost=cost,
+                          cost0=cost0, rms_px=rms)
 
 
 def pad_landmarks(X0, meas, vis, n_devices: int):

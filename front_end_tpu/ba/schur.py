@@ -88,6 +88,14 @@ def _inv3x3(M):
     ch = -(a * f - c * d)
     ci = a * e - b * d
     det = a * ca + b * cb + c * cc
+    # Padded all-zero landmark blocks only carry the LM damping floor:
+    # Hll_d = lam*1e-8*I gives det = (lam*1e-8)^3 which is subnormal f32
+    # (flushed to 0 on TPU) once lam < ~3e-5, turning inv into inf and
+    # poisoning S_off/rhs with 0*inf NaNs so every later step is
+    # rejected.  Guard: a vanishing det means a ~zero block — substitute
+    # det=1 so the adjugate (itself ~0) yields the desired ~0 inverse,
+    # i.e. no contribution, matching the previous LU path's behaviour.
+    det = jnp.where(jnp.abs(det) > 1e-30, det, 1.0)
     inv = jnp.stack([jnp.stack([ca, cd, cg], -1),
                      jnp.stack([cb, ce, ch], -1),
                      jnp.stack([cc, cf, ci], -1)], -2)

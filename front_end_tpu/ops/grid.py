@@ -40,12 +40,15 @@ class GridConfig:
     # row_shares scales each grid row's set-point (features.py:626-631
     # uses (0.5, 2.0) top-to-bottom for a ground-heavy scene); None = equal.
     row_shares: tuple | None = struct.field(pytree_node=False, default=None)
-    # two-stage top-k: per-chunk pre-selection width.  NMS guarantees at
-    # most 1 survivor per 2x2 pixels, so chunk_topk = chunk_size/4 is
-    # lossless; the default trades a vanishing miss chance (>64 corners
-    # inside one 1024-px strip) for a ~10x faster selection.
+    # two-stage top-k: per-chunk pre-selection width.  The selection runs
+    # over the 2x2 PRE-POOLED grid, so a chunk of `chunk_size` entries
+    # spans 4*chunk_size pixels and (NMS guaranteeing at most 1 survivor
+    # per 2x2 block) can hold up to `chunk_size` true corners; chunk_topk
+    # = chunk_size/4 keeps the same miss-density threshold the pre-pool
+    # design had (>1 corner per 16 px sustained across a whole 4096-px
+    # strip) while staying ~10x faster than a flat top-k.
     chunk_size: int = struct.field(pytree_node=False, default=1024)
-    chunk_topk: int = struct.field(pytree_node=False, default=64)
+    chunk_topk: int = struct.field(pytree_node=False, default=256)
 
     @property
     def capacity(self) -> int:

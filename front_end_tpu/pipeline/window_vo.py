@@ -43,6 +43,14 @@ class WindowVOConfig:
     ba_iters: int = struct.field(pytree_node=False, default=6)
     huber_px: float = struct.field(pytree_node=False, default=3.0)
     min_obs: int = struct.field(pytree_node=False, default=2)
+    # a jax.sharding.Mesh with a 'landmark' axis: the per-window BA then
+    # runs landmark-sharded across the mesh INSIDE the jitted frame step
+    # (psum-reduced camera system, ba/distributed.py) — the live
+    # pipeline's multi-chip mode.  None = single-device BA.
+    ba_mesh: object = struct.field(pytree_node=False, default=None)
+    # compacted-problem size handed to the BA (must divide by the mesh's
+    # landmark axis when ba_mesh is set)
+    ba_max_landmarks: int = struct.field(pytree_node=False, default=2048)
 
     @staticmethod
     def create(vo_cfg: vo_mod.VOConfig, *, window: int = 3,
@@ -103,7 +111,8 @@ def window_vo_step(state: WindowVOState, left, right, rig: StereoRig,
     def run_ba(w):
         w2, res = tracker_mod.run_window_ba(
             w, rig, iters=cfg.ba_iters, huber_px=cfg.huber_px,
-            min_obs=cfg.min_obs)
+            min_obs=cfg.min_obs, max_landmarks=cfg.ba_max_landmarks,
+            mesh=cfg.ba_mesh)
         return w2, res.poses[-1], res.cost, res.rms_px, jnp.bool_(True)
 
     def skip_ba(w):

@@ -224,22 +224,24 @@ def single_image_detection(det_ids, left, right, return_kp: bool = False):
             thrs = jnp.asarray([t for _, t in members], jnp.float32)
             stats_l = _map_stats_batch(sl, thrs)
             stats_r = _map_stats_batch(sr, thrs)
-            if key[0] in ("ORBPYR", "SURF"):
-                # these families build the shared map through a static
-                # top-k keypoint capacity; when the near-zero build
-                # threshold fills it, counts at thresholds at/below the
-                # weakest retained score silently undercount — flag those
-                # records approximate instead of reporting them as exact
-                cap = {"ORBPYR": 2048, "SURF": 1024}[key[0]]
-                nz = max(int(jnp.sum(sl > 0)), int(jnp.sum(sr > 0)))
-                if nz >= cap:
-                    smin = float(jnp.min(jnp.where(
-                        sl > 0, sl, jnp.inf)))
-                    smin = min(smin, float(jnp.min(jnp.where(
-                        sr > 0, sr, jnp.inf))))
-                    saturated_below = smin
         jax.block_until_ready((stats_l, stats_r))
         dt = (time.perf_counter() - t0) / max(len(members), 1)
+        if key[0] in ("ORBPYR", "SURF"):
+            # these families build the shared map through a static top-k
+            # keypoint capacity; when the near-zero build threshold fills
+            # it, counts at thresholds at/below the weakest retained score
+            # silently undercount — flag those records approximate instead
+            # of reporting them as exact.  The probe does blocking device
+            # fetches, so it runs OUTSIDE the timed region above to keep
+            # the reported processingTime fetch-honest.
+            cap = {"ORBPYR": 2048, "SURF": 1024}[key[0]]
+            nz = max(int(jnp.sum(sl > 0)), int(jnp.sum(sr > 0)))
+            if nz >= cap:
+                smin = float(jnp.min(jnp.where(
+                    sl > 0, sl, jnp.inf)))
+                smin = min(smin, float(jnp.min(jnp.where(
+                    sr > 0, sr, jnp.inf))))
+                saturated_below = smin
         nl, mxl, sxl, myl, syl = (np.asarray(a) for a in stats_l)
         nr, mxr, sxr, myr, syr = (np.asarray(a) for a in stats_r)
         for i, (det_id, thr) in enumerate(members):

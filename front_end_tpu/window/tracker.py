@@ -173,16 +173,24 @@ def update(state: WindowState, kps: Keypoints, desc: Descriptors,
     from front_end_tpu.ops.dense_select import lookup, segment_min
 
     is_new = cur_valid & ~tracked
-    # free slots: invalid or stale.  Each new feature (rank r among the
-    # frame's new features) claims the r-th stale slot in INDEX order —
-    # a cumsum ranking inverted by one dense compare.  The previous
+    # free slots: never-used (dead) or expired (valid but unseen for
+    # > max_age).  Recycling is TWO-TIER: all dead slots are claimed
+    # before ANY expired one — expired slots still hold landmarks that
+    # `interframe_match` can re-acquire after a brief occlusion, so they
+    # are evicted last.  Within each tier the order is INDEX order via a
+    # cumsum ranking inverted by one dense compare; the previous global
     # oldest-first policy needed a full argsort over the M slots
-    # (~0.8 ms at M=4608, the hottest op in the tracker); among DEAD
-    # slots the recycling order is policy-free, so the sort bought
-    # nothing.  Never overwrite live landmarks: allocation stops at the
-    # free-slot count.
-    stale = ~store.valid | (fidx - store.last_seen > cfg.max_age)
-    rank_slot = jnp.cumsum(stale.astype(jnp.int32)) - 1   # (M,)
+    # (~0.8 ms at M=4608, the hottest op in the tracker) and within the
+    # dead tier order is policy-free.  Accepted deviation: among EXPIRED
+    # slots a just-expired track can be recycled before a much older one
+    # — reachable only once every dead slot is exhausted.  Never
+    # overwrite live landmarks: allocation stops at the free-slot count.
+    dead = ~store.valid
+    expired = store.valid & (fidx - store.last_seen > cfg.max_age)
+    stale = dead | expired
+    rank_dead = jnp.cumsum(dead.astype(jnp.int32)) - 1    # (M,)
+    rank_exp = jnp.sum(dead) + jnp.cumsum(expired.astype(jnp.int32)) - 1
+    rank_slot = jnp.where(dead, rank_dead, rank_exp)      # (M,)
     n_free = jnp.sum(stale)
     rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1       # (N,)
     can_alloc = is_new & (rank < n_free)
@@ -233,7 +241,8 @@ def tracked_pairs(state_prev: WindowState, upd: TrackUpdate, X_cam_cur):
 def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
                   huber_px: float = 3.0, min_obs: int = 2,
                   outlier_gate_px: float = 8.0,
-                  max_landmarks: int | None = 2048):
+                  max_landmarks: int | None = 2048,
+                  mesh=None):
     """Windowed BA over the store: optimize the W window poses (+ the
     landmarks observed >= min_obs times in-window).  Returns the updated
     state.  This is the `sba_node` capability wired to live tracking.
@@ -251,6 +260,14 @@ def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
     capacities.  Gather/scatter ride one-hot MXU matmuls (dense_select),
     so the compaction itself costs tens of microseconds.  None = solve
     the full grid.
+
+    `mesh`: a `jax.sharding.Mesh` with a 'landmark' axis — the solve
+    then runs LANDMARK-SHARDED over the mesh with the psum-reduced
+    camera system (`ba/distributed.py`), so the LIVE windowed pipeline
+    distributes its BA across chips the way the reference distributed
+    its whole system across ROS nodes (SURVEY §5).  Requires
+    `max_landmarks` divisible by the mesh's landmark-axis size (the
+    compacted block is the sharded dimension).
     """
     from front_end_tpu.ba import factors, schur
     from front_end_tpu.ops.dense_select import take_rows
@@ -265,6 +282,11 @@ def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
         vis = vis & (jnp.sum(r * r, -1) < outlier_gate_px ** 2)
 
     M = store.Xw.shape[0]
+    if mesh is not None and (max_landmarks is None or max_landmarks >= M):
+        raise ValueError(
+            "sharded window BA runs on the compacted problem: set "
+            f"max_landmarks < store capacity {M} (and divisible by the "
+            "mesh's landmark axis)")
     if max_landmarks is not None and max_landmarks < M:
         K = max_landmarks
         score = jnp.where(use, obs_count.astype(jnp.float32) * 1e4
@@ -275,8 +297,20 @@ def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
         meask = take_rows(store.meas.reshape(M, -1), sel).reshape(
             K, *store.meas.shape[1:])
         visk = take_rows(vis, sel) & sel_valid[:, None]
-        res = schur.ba_solve(state.poses, Xk, meask, visk, rig,
-                             iters=iters, huber_px=huber_px)
+        if mesh is not None:
+            from front_end_tpu.ba import distributed
+            n_lm = mesh.shape[distributed.AXIS]
+            if K % n_lm:
+                raise ValueError(
+                    f"max_landmarks={K} not divisible by landmark axis "
+                    f"size {n_lm}")
+            res = distributed.ba_solve_sharded_inline(
+                mesh, state.poses, Xk, meask,
+                visk.astype(jnp.float32), rig,
+                iters=iters, huber_px=huber_px)
+        else:
+            res = schur.ba_solve(state.poses, Xk, meask, visk, rig,
+                                 iters=iters, huber_px=huber_px)
         # scatter refined landmarks back (each slot selected at most
         # once -> one-hot transpose matmul is exact)
         oh = (sel[:, None] == jnp.arange(M)[None, :]) \

@@ -1,0 +1,123 @@
+"""LIVE multi-device windowed VO: the flagship pipeline with its BA
+landmark-sharded over a mesh INSIDE the jitted frame step.
+
+The reference deployed the *running system* distributed (the ROS graph:
+detect/window/BA nodes as separate processes, SURVEY §5); the TPU-native
+equivalent is the `window_vo` step whose per-window Schur BA shards the
+tracker's compacted landmark block over a `landmark` mesh axis with the
+psum-reduced camera system (`ba/distributed.ba_solve_sharded_inline`).
+These tests prove, on the 8-device virtual CPU mesh, that the sharded
+live pipeline (a) compiles and runs as ONE jitted step, (b) produces the
+same trajectory as the single-device windowed pipeline to float
+tolerance, and (c) uses exactly the audited number of collectives.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from front_end_tpu.ba import distributed
+from front_end_tpu.pipeline import window_vo
+
+from test_pipeline import make_planar_sequence, _rig, _cfg
+
+
+def _run(cfg, rig, lefts, rights):
+    state = window_vo.init_state(rig, cfg)
+    step = jax.jit(
+        lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, cfg))
+    outs = []
+    for t in range(lefts.shape[0]):
+        state, out = step(state, jnp.asarray(lefts[t]),
+                          jnp.asarray(rights[t]))
+        outs.append(out)
+    return state, outs
+
+
+class TestShardedLiveWindow:
+    def test_live_sharded_matches_single_device(self, devices):
+        """The whole windowed frame step, BA sharded over 8 devices,
+        must reproduce the single-device trajectory.  f32 psum ordering
+        differs from the single-device einsum reduction and the LM
+        accept ladder can amplify last bits, so parity is asserted at
+        the level the geometry cares about (mm on a ~0.1 m/frame path),
+        not bitwise."""
+        lefts, rights = make_planar_sequence(n_frames=6)
+        rig, vcfg = _rig(), _cfg()
+
+        base = window_vo.WindowVOConfig.create(
+            vcfg, window=3, ba_every=1, ba_max_landmarks=1024)
+        mesh = distributed.make_mesh(8)
+        sharded = base.replace(ba_mesh=mesh)
+
+        _, outs1 = _run(base, rig, lefts, rights)
+        _, outs8 = _run(sharded, rig, lefts, rights)
+
+        assert all(bool(o.ba_ran) for o in outs8[2:])
+        p1 = np.stack([np.asarray(o.frame.pose)[:3, 3] for o in outs1])
+        p8 = np.stack([np.asarray(o.frame.pose)[:3, 3] for o in outs8])
+        np.testing.assert_allclose(p8, p1, atol=2e-3)
+        # BA itself must have produced matching refinement quality
+        r1 = [float(o.ba_rms_px) for o in outs1 if bool(o.ba_ran)]
+        r8 = [float(o.ba_rms_px) for o in outs8 if bool(o.ba_ran)]
+        np.testing.assert_allclose(r8, r1, atol=5e-2)
+        assert all(r < 1.0 for r in r8)
+
+    def test_live_sharded_on_2d_mesh(self, devices):
+        """The landmark axis can be one axis of a larger mesh (the
+        dryrun's (data, landmark) layout): other axes stay replicated."""
+        lefts, rights = make_planar_sequence(n_frames=4)
+        rig, vcfg = _rig(), _cfg()
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4),
+            ("data", distributed.AXIS))
+        cfg = window_vo.WindowVOConfig.create(
+            vcfg, window=3, ba_every=1, ba_max_landmarks=1024,
+            ba_mesh=mesh)
+        _, outs = _run(cfg, rig, lefts, rights)
+        assert any(bool(o.ba_ran) for o in outs)
+        last = [o for o in outs if bool(o.ba_ran)][-1]
+        assert np.isfinite(float(last.ba_cost))
+        assert float(last.ba_rms_px) < 1.0
+
+    def test_collective_count_matches_audit(self):
+        """Mechanical honesty: the traced sharded solve contains EXACTLY
+        the audited collective count (1 + 2·iters fused psums).  A
+        regression to per-block psums — the latency cliff that produced
+        0.41 efficiency in round 3 — fails here, not in a benchmark."""
+        from front_end_tpu.geometry.camera import StereoRig
+
+        W, L, iters = 3, 64, 5
+        rig = StereoRig.create(fx=100.0, cx=64.0, cy=48.0, baseline=0.5,
+                               width=128, height=96)
+        mesh = distributed.make_mesh(8)
+        audit = distributed.comm_audit(W, iters)
+
+        def solve(poses, X, meas, vis_w):
+            return distributed.ba_solve_sharded_inline(
+                mesh, poses, X, meas, vis_w, rig, iters=iters)
+
+        n = distributed.count_collectives(
+            solve, jnp.broadcast_to(jnp.eye(4), (W, 4, 4)),
+            jnp.ones((L, 3)), jnp.zeros((L, W, 4)), jnp.ones((L, W)))
+        # rms reporting adds 2 psums after the scan (masked residual
+        # normalization) — audited solve psums + exactly those 2
+        assert n == audit["psums_per_solve"] + 2, (n, audit)
+
+    def test_mesh_requires_divisible_compaction(self):
+        from front_end_tpu.window import tracker as tracker_mod
+
+        rig = _rig()
+        cfg = tracker_mod.TrackerConfig(capacity=1152, desc_bits=128)
+        st = tracker_mod.init_state(cfg)
+        state = tracker_mod.WindowState(
+            store=st.store, poses=st.poses, pose_valid=st.pose_valid,
+            frame_idx=st.frame_idx)
+        mesh = distributed.make_mesh(8)
+        with pytest.raises(ValueError):
+            tracker_mod.run_window_ba(state, rig, mesh=mesh,
+                                      max_landmarks=1150)
+        with pytest.raises(ValueError):
+            tracker_mod.run_window_ba(state, rig, mesh=mesh,
+                                      max_landmarks=4096)
