@@ -40,9 +40,15 @@ def corner_subpix(img, xy, valid=None, *, win: int = 5, iters: int = 5,
     which on blob-textured scenes lets the gradient-crossing model pull
     detections toward nearby edges by several px — measured on the
     rendered-world regression this corrupts stereo geometry (ATE 10x
-    worse).  A sub-pixel cap (e.g. 0.75) keeps the refinement in the
-    regime the operation is named for; the VO pipeline uses that
-    (`pipeline/vo.py`).
+    worse).  Diagnosed r5 (`test_rendered_world.py::
+    test_subpix_paradox_cv2_drifts_identically`): cv2's OWN cornerSubPix
+    drifts identically on that texture (median 1.45 px, 56% of points
+    >1 px; cv2's own VO gets ~21% worse ATE through it), while in the
+    genuine sub-pixel regime this implementation matches cv2 to
+    ~0.03 px — so the cap is the correct policy for non-corner-like
+    texture, not a workaround for a solver bug.  A sub-pixel cap (e.g.
+    0.75) keeps the refinement in the regime the operation is named
+    for; the VO pipeline uses that (`pipeline/vo.py`).
     """
     img = jnp.asarray(img, jnp.float32)
     xy = jnp.asarray(xy, jnp.float32)

@@ -58,10 +58,13 @@ def make_texture(rng, size: int = 512, lo: float = 20.0,
 
 
 def corridor_scene(rng, *, width: float = 4.0, height: float = 3.0,
-                   length: float = 40.0, tex_size: int = 512
-                   ) -> list[TexturedPlane]:
+                   length: float = 40.0, tex_size: int = 512,
+                   capped: bool = False) -> list[TexturedPlane]:
     """A closed corridor along +z: floor, ceiling, both walls, far wall.
-    The camera starts near the origin looking down +z."""
+    The camera starts near the origin looking down +z.  `capped` adds a
+    NEAR end-wall behind the start (z = -2) so a camera that turns
+    around mid-corridor (heading-reversal trajectories) still faces
+    texture instead of the open end."""
     w2, h2 = width / 2.0, height / 2.0
     ex, ey, ez = np.eye(3)
 
@@ -72,13 +75,18 @@ def corridor_scene(rng, *, width: float = 4.0, height: float = 3.0,
             tex=make_texture(rng, tex_size),
             scale=max(eu, ev) / tex_size)
 
-    return [
-        plane([-w2, h2, 0.0], ez, ex, length, width),      # floor (y=+h2)
-        plane([-w2, -h2, 0.0], ez, ex, length, width),     # ceiling
-        plane([-w2, -h2, 0.0], ez, ey, length, height),    # left wall
-        plane([w2, -h2, 0.0], ez, ey, length, height),     # right wall
+    z0 = -2.0 if capped else 0.0
+    span = length - z0
+    scene = [
+        plane([-w2, h2, z0], ez, ex, span, width),         # floor (y=+h2)
+        plane([-w2, -h2, z0], ez, ex, span, width),        # ceiling
+        plane([-w2, -h2, z0], ez, ey, span, height),       # left wall
+        plane([w2, -h2, z0], ez, ey, span, height),        # right wall
         plane([-w2, -h2, length], ex, ey, width, height),  # far wall
     ]
+    if capped:
+        scene.append(plane([-w2, -h2, z0], ex, ey, width, height))
+    return scene
 
 
 def render_view(scene: Sequence[TexturedPlane], rig: StereoRig,
@@ -164,5 +172,44 @@ def corridor_trajectory(n_frames: int, *, step: float = 0.12,
         T[:3, :3] = Ry @ Rx
         T[:3, 3] = [sway * np.sin(ph + 1.0), 0.4 * sway * np.sin(2.3 * ph),
                     step * t]
+        poses.append(T)
+    return np.stack(poses)
+
+
+def corridor_trajectory_reversal(n_frames: int = 100, *,
+                                 step: float = 0.12,
+                                 turn_frames: int = 24,
+                                 sway: float = 0.08,
+                                 period: float = 18.0) -> np.ndarray:
+    """Out-and-back heading-reversal walk: forward leg with gentle sway,
+    a smooth in-place 180° yaw turn over `turn_frames`, then a return
+    leg back toward the start facing −z.  The drift-exposure trajectory
+    (VERDICT r5 #8): accumulated forward-leg error cannot silently
+    cancel — at the end the camera is back near the origin and every
+    metre of drift shows.  Use with `corridor_scene(capped=True)` so the
+    turned camera faces texture.  Returns (T,4,4) world_T_camera."""
+    fwd = (n_frames - turn_frames) // 2
+    back = n_frames - turn_frames - fwd
+    z_turn = step * fwd
+    poses = []
+    for t in range(n_frames):
+        ph = 2 * np.pi * t / period
+        if t < fwd:                       # forward leg
+            yaw = 0.0
+            z = step * t
+        elif t < fwd + turn_frames:       # smooth 180° turn (smoothstep)
+            k = (t - fwd + 1) / turn_frames
+            s = k * k * (3 - 2 * k)
+            yaw = np.pi * s
+            z = z_turn
+        else:                             # return leg, facing −z
+            yaw = np.pi
+            z = z_turn - step * (t - fwd - turn_frames + 1)
+        cy_, sy = np.cos(yaw), np.sin(yaw)
+        Ry = np.array([[cy_, 0, sy], [0, 1, 0], [-sy, 0, cy_]])
+        T = np.eye(4)
+        T[:3, :3] = Ry
+        T[:3, 3] = [sway * np.sin(ph + 1.0),
+                    0.4 * sway * np.sin(2.3 * ph), z]
         poses.append(T)
     return np.stack(poses)

@@ -79,8 +79,9 @@ class TestRenderedWorld:
 
         cv_poses = cv2_stereo_vo(lefts, rights, rig, max_disparity=60.0)
         ate_cv = metrics.ate_rmse(cv_poses[:, :3, 3], gt[:, :3, 3])
-        # north-star bound: within the cv2 reference (slack for RNG)
-        assert ate <= max(1.5 * ate_cv, 0.01 * path_len), (ate, ate_cv)
+        # north-star bound: within the cv2 reference (tightened 1.5x ->
+        # 1.2x in r5; measured headroom is ~4x)
+        assert ate <= max(1.2 * ate_cv, 0.01 * path_len), (ate, ate_cv)
 
         # rotation must actually be tracked (not just translation):
         # final yaw error under 2 degrees
@@ -100,6 +101,56 @@ class TestRenderedWorld:
         # the reference always refines (live_stereo.cpp:321-337); ours
         # must not regress accuracy when enabled
         assert ate_on <= ate_off * 1.10 + 1e-3, (ate_on, ate_off)
+
+    def test_subpix_paradox_cv2_drifts_identically(self, world):
+        """Resolution of the subpix paradox (VERDICT r4 weak #3 / next
+        #3): why does uncapped cornerSubPix hurt here when the reference
+        always refines and benefits (live_stereo.cpp:321-337)?
+
+        Measured answer — Outcome B, the TEXTURE, not the
+        implementation: on this blob-textured world cv2's OWN
+        cornerSubPix drags the majority of FAST detections >1 px toward
+        nearby edges (frame 2: median displacement 1.45 px, 56% of
+        points >1 px), and cv2's own VO fed through cv2's own refinement
+        gets ~21% WORSE ATE (0.389 -> 0.471 m over the 6.3 m path).  In
+        the genuine sub-pixel regime (both implementations move <1 px)
+        mine agrees with cv2 to ~0.03 px mean — so the gradient-window
+        math is right, and the production `max_shift` cap (vo.py) that
+        confines refinement to that regime is the correct policy, not a
+        workaround."""
+        import cv2
+
+        rig, gt, lefts, rights = world
+        img = np.asarray(lefts[2], np.float32)
+        cfg = _cfg()
+        det = grid.detect(jnp.asarray(img), cfg.grid.init_thresholds(),
+                          cfg.grid)
+        xy = np.asarray(det.keypoints.xy)
+        pts = xy[np.asarray(det.keypoints.valid)]
+        assert len(pts) > 100
+
+        crit = (cv2.TERM_CRITERIA_EPS | cv2.TERM_CRITERIA_MAX_ITER,
+                40, 1e-3)
+        p_cv = pts.astype(np.float32).reshape(-1, 1, 2).copy()
+        cv2.cornerSubPix(img, p_cv, (5, 5), (-1, -1), crit)
+        p_cv = p_cv.reshape(-1, 2)
+        from front_end_tpu.ops import subpix as subpix_mod
+        p_my = np.asarray(subpix_mod.corner_subpix(
+            jnp.asarray(img), jnp.asarray(pts), iters=40))
+
+        d_cv = np.linalg.norm(p_cv - pts, axis=1)
+        d_my = np.linalg.norm(p_my - pts, axis=1)
+        # (a) cv2 itself leaves the sub-pixel regime on this texture —
+        # the drift is a property of the scene, not of our solver
+        assert np.median(d_cv) > 0.75, np.median(d_cv)
+        assert (d_cv > 1.0).mean() > 0.35, (d_cv > 1.0).mean()
+        # (b) where BOTH stay sub-pixel (true-corner regime), the two
+        # implementations agree closely — no implementation bug
+        both = (d_cv < 1.0) & (d_my < 1.0)
+        assert both.mean() > 0.15
+        dd = np.linalg.norm((p_my - p_cv)[both], axis=1)
+        assert dd.mean() < 0.1, dd.mean()
+        assert np.percentile(dd, 90) < 0.25, np.percentile(dd, 90)
 
     def test_windowed_ba_beats_frame_to_frame(self, world):
         rig, gt, lefts, rights = world
@@ -123,3 +174,13 @@ class TestRenderedWorld:
         ate_win = metrics.ate_rmse(wposes[:, :3, 3], gt[:n, :3, 3])
         # the flagship mode must WIN on drift-accumulating 6-DoF motion
         assert ate_win < ate_plain, (ate_win, ate_plain)
+        # ... and must itself sit under the cv2-reference bound on the
+        # same frames (r5: the windowed mode joins the north-star oracle,
+        # not just the plain pipeline)
+        cv_poses = cv2_stereo_vo(lefts[:n], rights[:n], rig,
+                                 max_disparity=60.0)
+        ate_cv = metrics.ate_rmse(cv_poses[:, :3, 3], gt[:n, :3, 3])
+        path_n = np.sum(np.linalg.norm(np.diff(gt[:n, :3, 3], axis=0),
+                                       axis=1))
+        assert ate_win <= max(1.2 * ate_cv, 0.01 * path_n), (
+            ate_win, ate_cv)
