@@ -123,12 +123,16 @@ def detect(img, *, n_octaves: int = 3, n_layers: int = N_SPLITS,
     pyr = build_pyramid(img, n_octaves, n_layers)
     k = 2.0 ** (1.0 / n_layers)
 
+    # cv2 semantics (sift.cpp findScaleSpaceExtrema): the DoG contrast
+    # test uses contrastThreshold / nOctaveLayers, NOT the raw value —
+    # applying 0.04 directly was 3x stricter than cv2.SIFT default and
+    # starved detection on low-contrast scenes (r5 family-parity oracle)
+    dog_thr = contrast_threshold / n_layers
     per = max(16, max_keypoints // (n_octaves * n_layers))
     xs_l, ys_l, sc_l, sg_l, oc_l = [], [], [], [], []
     for o, gauss in enumerate(pyr):
         dog = dog_stack(gauss)
-        for (xx, yy, v, j) in _extrema_one_octave(dog, per,
-                                                  contrast_threshold):
+        for (xx, yy, v, j) in _extrema_one_octave(dog, per, dog_thr):
             scale = float(1 << o)
             xs_l.append(xx * scale)
             ys_l.append(yy * scale)
@@ -140,6 +144,16 @@ def detect(img, *, n_octaves: int = 3, n_layers: int = N_SPLITS,
     sc = jnp.concatenate(sc_l)
     sg = jnp.concatenate(sg_l)
     oc = jnp.concatenate(oc_l)
+    if sc.shape[0] < max_keypoints:
+        # small images: the per-octave candidate pool can undershoot the
+        # requested capacity (e.g. 1017 < 1024 at 256x192) — pad with
+        # invalid rows so the output capacity stays static
+        pad = max_keypoints - sc.shape[0]
+        xs = jnp.pad(xs, (0, pad))
+        ys = jnp.pad(ys, (0, pad))
+        sc = jnp.pad(sc, (0, pad), constant_values=-1.0)
+        sg = jnp.pad(sg, (0, pad), constant_values=1.0)
+        oc = jnp.pad(oc, (0, pad))
     v, sel = jax.lax.top_k(jnp.where(sc > 0, sc, -1.0), max_keypoints)
     kps = Keypoints(xy=jnp.stack([xs[sel], ys[sel]], -1), score=v,
                     angle=jnp.zeros((max_keypoints,)), valid=v > 0)
