@@ -250,6 +250,33 @@ def cmd_vo(args):
     from front_end_tpu.pipeline import telemetry
     tlog = telemetry.TelemetryLog() if args.record else None
 
+    # --debug-images: the reference publishes drawn stereo-match images
+    # and anaglyph track overlays continuously while running
+    # (features.py:752-760, algorithm.py:1198-1202, visualize.py:7-74);
+    # here every Nth frame is rendered from the live step's own state
+    # (uv4 stereo rows, track correspondences) and written to DIR.
+    def dump_debug(i, l, r, feats, frame_out):
+        if not args.debug_images or i % args.debug_every:
+            return
+        import os as os_mod
+
+        from front_end_tpu.analysis.explore import _imwrite
+        from front_end_tpu.viz import draw
+        os_mod.makedirs(args.debug_images, exist_ok=True)
+        ln, rn = np.asarray(l), np.asarray(r)
+        _imwrite(os_mod.path.join(args.debug_images,
+                                  f"match_{i:05d}.png"),
+                 draw.draw_stereo_uv4(ln, rn, np.asarray(feats.uv4),
+                                      np.asarray(feats.stereo_valid)))
+        canvas = draw.anaglyph(ln, rn)
+        _imwrite(os_mod.path.join(args.debug_images,
+                                  f"tracks_{i:05d}.png"),
+                 draw.draw_tracks(canvas,
+                                  np.asarray(frame_out.track_xy_prev),
+                                  np.asarray(feats.kps.xy),
+                                  np.asarray(frame_out.track_inliers),
+                                  np.asarray(frame_out.track_valid)))
+
     poses_list = [np.asarray(p) for p in prior_poses]
     if args.window:
         # live window mode: tracker + windowed Schur BA in the loop
@@ -279,6 +306,7 @@ def cmd_vo(args):
                 state, out = step(state, l, r)
                 pose_np = np.array(out.frame.pose)
             poses_list.append(pose_np)
+            dump_debug(i, l, r, state.vo.prev, out.frame)
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.frame.n_stereo)} "
                       f"inliers={int(out.frame.n_inliers)} "
@@ -304,6 +332,7 @@ def cmd_vo(args):
                 state, out = step(state, l, r)
                 pose_np = np.array(out.pose)
             poses_list.append(pose_np)
+            dump_debug(i, l, r, state.prev, out)
             if args.verbose and i % 25 == 0:
                 print(f"frame {i}: stereo={int(out.n_stereo)} "
                       f"inliers={int(out.n_inliers)}")
@@ -428,6 +457,11 @@ def main(argv=None):
                    help="live window mode: tracker + windowed BA")
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
+    v.add_argument("--debug-images", default=None, metavar="DIR",
+                   help="write live match overlays + anaglyph track "
+                        "images every --debug-every frames to DIR (the "
+                        "reference's continuous debug-image publishing)")
+    v.add_argument("--debug-every", type=int, default=10)
     v.add_argument("--record", default=None, metavar="PATH",
                    help="record per-frame telemetry (frame time + "
                         "counters) to PATH (.npz) for `report --record`")

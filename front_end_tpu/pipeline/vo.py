@@ -119,6 +119,12 @@ class VOFrameOutput(NamedTuple):
     n_tracks: jnp.ndarray       # inter-frame track candidates
     n_inliers: jnp.ndarray      # motion consensus size
     motion_ok: jnp.ndarray      # bool — enough inliers to trust the motion
+    # live-debug surfaces (the reference publishes drawn match/track
+    # images every frame — features.py:752-760, algorithm.py:1198-1202;
+    # these stay on device unless a debug consumer fetches them):
+    track_xy_prev: jnp.ndarray  # (N, 2) prev-frame position of each track
+    track_valid: jnp.ndarray    # (N,) inter-frame candidate mask
+    track_inliers: jnp.ndarray  # (N,) motion-consensus mask
 
 
 def init_state(rig: StereoRig, cfg: VOConfig, seed: int = 0) -> VOState:
@@ -260,7 +266,8 @@ def _estimate_motion(key, cur: FrameFeatures, prev: FrameFeatures,
     ok = n_inl >= cfg.min_track_inliers
     H = jnp.where(ok, H, jnp.eye(4))
     return H, dict(n_tracks=jnp.sum(pair_valid), n_inliers=n_inl,
-                   motion_ok=ok)
+                   motion_ok=ok, track_xy_prev=uvp[:, :2],
+                   track_valid=pair_valid, track_inliers=inliers)
 
 
 @f32_precision
@@ -291,7 +298,10 @@ def vo_step(state: VOState, left, right, rig: StereoRig,
         n_stereo=det_stats["n_stereo"],
         n_tracks=mot_stats["n_tracks"],
         n_inliers=mot_stats["n_inliers"],
-        motion_ok=mot_stats["motion_ok"] | is_first)
+        motion_ok=mot_stats["motion_ok"] | is_first,
+        track_xy_prev=mot_stats["track_xy_prev"],
+        track_valid=mot_stats["track_valid"] & ~is_first,
+        track_inliers=mot_stats["track_inliers"] & ~is_first)
     return new_state, out
 
 

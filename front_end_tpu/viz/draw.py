@@ -20,7 +20,10 @@ YELLOW = (255, 255, 0)
 
 
 def _to_rgb(img):
-    g = np.clip(np.asarray(img), 0, 255).astype(np.uint8)
+    img = np.asarray(img)
+    if img.ndim == 3:                       # already RGB (e.g. anaglyph)
+        return np.ascontiguousarray(img.astype(np.uint8))
+    g = np.clip(img, 0, 255).astype(np.uint8)
     return np.stack([g, g, g], -1)
 
 
@@ -69,6 +72,27 @@ def draw_matches(left, kl, right, kr, matches, color=GREEN):
     for q in np.nonzero(np.asarray(matches.valid))[0]:
         p0 = xl[q]
         p1 = xr[ti[q]] + np.array([L.shape[1], 0.0])
+        _plot_line(out, p0, p1, color)
+        _plot_cross(out, p0, RED)
+        _plot_cross(out, p1, BLUE)
+    return out
+
+
+def draw_stereo_uv4(left, right, uv4, valid, color=GREEN):
+    """Side-by-side stereo match rendering straight from the pipeline's
+    (N, 4) [ul,vl,ur,vr] measurement rows — the live-debug form of
+    `draw_matches` (`visualize.py:7-50`), drawable from any
+    `FrameFeatures.uv4`/`stereo_valid` without a Matches object."""
+    L, R = _to_rgb(left), _to_rgb(right)
+    H = max(L.shape[0], R.shape[0])
+    W = L.shape[1] + R.shape[1]
+    out = np.zeros((H, W, 3), np.uint8)
+    out[:L.shape[0], :L.shape[1]] = L
+    out[:R.shape[0], L.shape[1]:] = R
+    uv = np.asarray(uv4)
+    for i in np.nonzero(np.asarray(valid))[0]:
+        p0 = uv[i, :2]
+        p1 = uv[i, 2:] + np.array([L.shape[1], 0.0])
         _plot_line(out, p0, p1, color)
         _plot_cross(out, p0, RED)
         _plot_cross(out, p1, BLUE)
