@@ -61,8 +61,8 @@ def main():
         desc_bytes=32, ransac_hyps=192, ransac_threshold=0.12,
         max_disparity=60.0, min_track_inliers=10)
 
-    def run_windowed_ate(ba_every, iters):
-        wc = window_vo.WindowVOConfig.create(rcfg, window=3,
+    def run_windowed_ate(ba_every, iters, window=3):
+        wc = window_vo.WindowVOConfig.create(rcfg, window=window,
                                              ba_every=ba_every,
                                              ba_iters=iters)
         s = window_vo.init_state(rrig, wc)
@@ -74,8 +74,8 @@ def main():
             poses.append(np.asarray(o.frame.pose))
         return metrics.ate_rmse(np.stack(poses)[:, :3, 3], gtT[:, :3, 3])
 
-    def run_fps(ba_every, iters, reps=4):
-        wc = window_vo.WindowVOConfig.create(cfg, window=3,
+    def run_fps(ba_every, iters, reps=4, window=3):
+        wc = window_vo.WindowVOConfig.create(cfg, window=window,
                                              ba_every=ba_every,
                                              ba_iters=iters)
         s0 = window_vo.init_state(rig, wc)
@@ -113,6 +113,24 @@ def main():
                         f"{ate:.4f} |")
             print(f"  measured: {rows[-1]}", flush=True)
     print("\n".join(rows))
+
+    # ---- window-length operating curve (VERDICT r5 #9) -----------------
+    # The reference hard-codes W=3 (front_end_window_node.cpp:6); here W
+    # is a config, and this measures what longer windows actually buy at
+    # the production operating point (ba_every=2, iters=2): fps cost
+    # (the BA stage is O(W^2) in both compute blocks and the distributed
+    # solver's per-iteration communication, ba/distributed.comm_audit)
+    # vs rendered-world ATE.
+    from front_end_tpu.ba import distributed as dist_mod
+    rows2 = ["", "| window W | fps/chip | ATE (m) | comm/iter (B) |",
+             "|---|---|---|---|"]
+    for Wn in (3, 4, 6, 8):
+        fps = run_fps(2, 2, window=Wn)
+        ate = run_windowed_ate(2, 2, window=Wn)
+        cb = dist_mod.comm_audit(Wn, 1)["bytes_per_iter"]
+        rows2.append(f"| {Wn} | {fps:.1f} | {ate:.4f} | {cb} |")
+        print(f"  measured: {rows2[-1]}", flush=True)
+    print("\n".join(rows2))
 
 
 if __name__ == "__main__":

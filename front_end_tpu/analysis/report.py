@@ -341,6 +341,10 @@ def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
 
     stages, counters, meta = telemetry.load_log(record_path)
     plat = meta.get("platform", "device")
+    stem = os.path.basename(record_path)
+    for ext in (".npz",):
+        if stem.endswith(ext):
+            stem = stem[:-len(ext)]
     paths = []
 
     if "frame" in stages:
@@ -353,8 +357,8 @@ def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
                     color=INK_MUT, va="bottom")
         _style(ax, title=f"Recorded frame time — {plat}",
                xlabel="frame", ylabel="ms / frame")
-        paths.append(_save(fig, os.path.join(out_dir,
-                                             "recorded_frame_time.png")))
+        paths.append(_save(fig, os.path.join(
+            out_dir, f"recorded_{stem}_frame_time.png")))
 
     series = [(k, v) for k, v in sorted(counters.items())
               if k.startswith("n_")]
@@ -377,8 +381,64 @@ def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
                 linewidth=1.5, zorder=3)
         _style(ax, title=f"Recorded {k} — {plat}", xlabel="frame",
                ylabel=k)
-        paths.append(_save(fig, os.path.join(out_dir,
-                                             f"recorded_{k}.png")))
+        paths.append(_save(fig, os.path.join(
+            out_dir, f"recorded_{stem}_{k}.png")))
+    return paths
+
+
+def plot_recorded_comparison(record_paths: list[str], out_dir: str,
+                             labels: list[str] | None = None) -> list[str]:
+    """The platform-comparison artifact: the SAME pipeline recorded on
+    different backends plotted together — the reference's core
+    experiment (i7 vs Jetson TK1, `bin/result_ONE:60-91` overlays both
+    platforms' recorded frame times against the 15 fps camera budget).
+    One frame-time chart and one median-fps bar chart; labels default to
+    each recording's platform metadata."""
+    import matplotlib.pyplot as plt
+
+    from front_end_tpu.pipeline import telemetry
+
+    loaded = []
+    for i, rec in enumerate(record_paths):
+        stages, counters, meta = telemetry.load_log(rec)
+        lab = (labels[i] if labels and i < len(labels)
+               else meta.get("platform", os.path.basename(rec)))
+        loaded.append((lab, stages, counters))
+    paths = []
+
+    fig, ax = plt.subplots(figsize=(5.4, 3.2))
+    for i, (lab, stages, _) in enumerate(loaded):
+        if "frame" not in stages:
+            continue
+        ts = stages["frame"] * 1e3
+        ax.plot(range(len(ts)), ts, color=CAT[i % len(CAT)],
+                linewidth=1.5, label=lab, zorder=3)
+    ax.axhline(FRAME_BUDGET_S * 1e3, color=INK_MUT, linewidth=0.8,
+               linestyle="--", zorder=1)
+    ax.annotate("15 fps budget", (0, FRAME_BUDGET_S * 1e3), fontsize=7,
+                color=INK_MUT, va="bottom")
+    ax.set_yscale("log")
+    _style(ax, title="Recorded frame time by platform",
+           xlabel="frame", ylabel="ms / frame (log)")
+    ax.legend(frameon=False, fontsize=8, labelcolor=INK)
+    paths.append(_save(fig, os.path.join(out_dir,
+                                         "platform_frame_time.png")))
+
+    fig, ax = plt.subplots(figsize=(4.8, 2.2))
+    labs, fps = [], []
+    for lab, stages, _ in loaded:
+        if "frame" in stages and len(stages["frame"]):
+            labs.append(lab)
+            fps.append(1.0 / float(np.median(stages["frame"])))
+    ax.barh(range(len(labs)), fps, color=CAT[0], height=0.55, zorder=3)
+    ax.set_yticks(range(len(labs)), labs, fontsize=8, color=INK)
+    ax.invert_yaxis()
+    for i, v in enumerate(fps):
+        ax.annotate(f"{v:.1f}", (v, i), textcoords="offset points",
+                    xytext=(4, 0), va="center", fontsize=8, color=INK)
+    _style(ax, title="Median throughput by platform",
+           xlabel="frames / s")
+    paths.append(_save(fig, os.path.join(out_dir, "platform_fps.png")))
     return paths
 
 
@@ -438,12 +498,20 @@ def generate_report(study_dir: str | None, out_dir: str, *,
             sections += _study_table(study)
             sections.append("")
 
+    found_recs = []
     for rec in records or []:
         if not os.path.exists(rec) and os.path.exists(rec + ".npz"):
             rec = rec + ".npz"       # save_log appends the extension
         if os.path.exists(rec):
+            found_recs.append(rec)
             sections.append(f"## Recorded run: `{os.path.basename(rec)}`\n")
             figs += plot_recorded_run(rec, out_dir)
+    if len(found_recs) >= 2:
+        sections.append("## Platform comparison\n\nThe same pipeline "
+                        "recorded on each backend, overlaid — the "
+                        "reference's i7-vs-Jetson experiment "
+                        "(`bin/result_ONE:60-91`).\n")
+        figs += plot_recorded_comparison(found_recs, out_dir)
 
     sections.append("## Detection\n")
     figs.append(plot_detection_sweep(lefts[0], rights[0], out_dir))

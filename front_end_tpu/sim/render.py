@@ -40,16 +40,27 @@ class TexturedPlane(NamedTuple):
 
 
 def make_texture(rng, size: int = 512, lo: float = 20.0,
-                 hi: float = 235.0) -> np.ndarray:
+                 hi: float = 235.0,
+                 area_density: bool = False) -> np.ndarray:
     """Multi-scale blob + noise texture with integer-rounded values (ties
     in FAST scores are annihilated by cv2-exact NMS; real sensors don't
-    tie, so neither does this)."""
+    tie, so neither does this).
+
+    area_density=True scales the blob COUNT with the texel AREA instead
+    of linearly with `size`, so fine textures keep the same corner
+    density per square metre — without it a 1024² texture is 2x sparser
+    per texel than the 512² default and close-range views go nearly
+    featureless (measured: the reversal trajectory's mid-turn frames
+    dropped to ~5 stereo matches).  Opt-in to keep r4 textures
+    bit-identical."""
     t = np.full((size, size), 128.0)
-    for _ in range(size):
+    n1 = size * size // 256 if area_density else size
+    n2 = size * size // 512 if area_density else size // 2
+    for _ in range(n1):
         y, x = rng.randint(0, size - 24, 2)
         s = rng.randint(6, 24)
         t[y:y + s, x:x + s] = rng.uniform(lo, hi)
-    for _ in range(size // 2):
+    for _ in range(n2):
         y, x = rng.randint(0, size - 8, 2)
         s = rng.randint(2, 8)
         t[y:y + s, x:x + s] = rng.uniform(lo, hi)
@@ -59,21 +70,37 @@ def make_texture(rng, size: int = 512, lo: float = 20.0,
 
 def corridor_scene(rng, *, width: float = 4.0, height: float = 3.0,
                    length: float = 40.0, tex_size: int = 512,
-                   capped: bool = False) -> list[TexturedPlane]:
+                   capped: bool = False,
+                   uniform_texel_scale: bool = False
+                   ) -> list[TexturedPlane]:
     """A closed corridor along +z: floor, ceiling, both walls, far wall.
     The camera starts near the origin looking down +z.  `capped` adds a
     NEAR end-wall behind the start (z = -2) so a camera that turns
     around mid-corridor (heading-reversal trajectories) still faces
-    texture instead of the open end."""
+    texture instead of the open end.
+
+    `uniform_texel_scale`: give every plane the SAME metres-per-texel
+    (the long walls' scale) instead of one texture size for all.  The
+    default stretches `tex_size` texels over each plane's longest edge,
+    which makes the small end-walls ~10x finer than the side walls —
+    sub-pixel texels at viewing distance alias and jitter corner
+    positions frame to frame (measured: the reversal trajectory's
+    return leg, which faces the near cap, accumulated 2-5x larger
+    per-step errors from exactly this).  Kept opt-in so the r4
+    rendered-world oracle numbers stay comparable."""
     w2, h2 = width / 2.0, height / 2.0
     ex, ey, ez = np.eye(3)
+    span_max = length + (2.0 if capped else 0.0)
 
     def plane(p0, u, v, eu, ev):
+        ts = tex_size
+        if uniform_texel_scale:
+            ts = max(64, int(round(tex_size * max(eu, ev) / span_max)))
         return TexturedPlane(
             p0=np.asarray(p0, np.float64), u=np.asarray(u, np.float64),
             v=np.asarray(v, np.float64), extent=(eu, ev),
-            tex=make_texture(rng, tex_size),
-            scale=max(eu, ev) / tex_size)
+            tex=make_texture(rng, ts, area_density=uniform_texel_scale),
+            scale=max(eu, ev) / ts)
 
     z0 = -2.0 if capped else 0.0
     span = length - z0

@@ -107,7 +107,38 @@ class TestReport:
             with_timings=False, records=[rec])
         txt = open(path).read()
         assert "Recorded run" in txt
-        assert os.path.exists(tmp_path / "recorded_frame_time.png")
+        assert os.path.exists(tmp_path / "recorded_run_frame_time.png")
+
+    def test_platform_comparison_figures(self, tmp_path):
+        """The i7-vs-TK1 analogue (`bin/result_ONE:60-91`): two
+        recordings from different backends overlay in one frame-time
+        chart + a throughput bar chart, and generate_report adds the
+        comparison section when given >= 2 recordings."""
+        recs = []
+        for name, plat, dt in (("tpu", "TPU v5 lite0", 0.003),
+                               ("cpu", "cpu-host", 0.05)):
+            log = TelemetryLog()
+            for t in range(20):
+                log.add_frame([ProcTime("frame", dt * (1 + 0.1 * (t % 3)))])
+                log.count("n_stereo", 400)
+            rec = str(tmp_path / f"{name}.npz")
+            save_log(rec, log, meta={"platform": plat})
+            recs.append(rec)
+
+        figs = report_mod.plot_recorded_comparison(recs, str(tmp_path))
+        assert len(figs) == 2 and all(os.path.exists(p) for p in figs)
+        assert os.path.exists(tmp_path / "platform_frame_time.png")
+        assert os.path.exists(tmp_path / "platform_fps.png")
+
+        lefts, rights = _frames()
+        path = report_mod.generate_report(
+            None, str(tmp_path / "rep"), frames=(lefts, rights),
+            with_timings=False, records=recs)
+        txt = open(path).read()
+        assert "Platform comparison" in txt
+        # per-record figures must not collide (stem-prefixed names)
+        assert os.path.exists(tmp_path / "rep" / "recorded_tpu_frame_time.png")
+        assert os.path.exists(tmp_path / "rep" / "recorded_cpu_frame_time.png")
 
 
 class TestExplore:
