@@ -216,15 +216,70 @@ def main():
     # proven by fetching one element back.  On this rig's remote tunnel
     # this measures ~20-60 MB/s — the physical ceiling that makes
     # fps_feed_inclusive a link number, not a pipeline number.
+    # NB both probes ship the BENCH'S OWN frames, not random bytes: the
+    # tunnel compresses RPC payloads, so incompressible random data
+    # understates what real (texture-sparse) frames achieve — r5
+    # measured the feed sustaining ~42 MB/s effective through a link
+    # whose random-data floor probed at ~11 MB/s.  Same-data probes make
+    # ceiling and achieved feed throughput comparable in one unit.
+    frame_blob = np.ascontiguousarray(
+        np.stack(lefts[:8]).astype(np.uint8))
     h2d = []
-    for _ in range(3):
-        blob = np.random.randint(0, 255, (8, rig.height, rig.width),
-                                 dtype=np.uint8)
+    for rep in range(3):
+        blob = frame_blob ^ rep            # distinct bytes, same entropy
         t0 = time.perf_counter()
         d = jax.device_put(blob)
         _ = np.asarray(d[0, 0, 0])
         h2d.append(blob.nbytes / 1e6 / (time.perf_counter() - t0))
     h2d_mbps = float(np.median(h2d))
+
+    # ---- PIPELINED link bandwidth: what the feed actually achieves -----
+    # one synchronous put understates the link (each transfer pays the
+    # full RTT); the DeviceFeed issues puts back-to-back and overlaps
+    # them with compute.  Measure the same shape: 8 frame-sized puts in
+    # flight, sync once at the end — ceiling and achieved feed fps are
+    # then comparable in the same units.
+    h2d_pipe = []
+    for rep in range(3):
+        blobs = [np.ascontiguousarray(f ^ (rep + 1)) for f in frame_blob]
+        t0 = time.perf_counter()
+        devs = [jax.device_put(b) for b in blobs]
+        for d in devs:
+            _ = np.asarray(d[0, 0])
+        h2d_pipe.append(sum(b.nbytes for b in blobs) / 1e6
+                        / (time.perf_counter() - t0))
+    h2d_pipe_mbps = float(np.median(h2d_pipe))
+
+    # ---- per-stage on-chip breakdown (profile_stages.py, summarized) ---
+    # which stage a regression lives in, carried in every BENCH record:
+    # detect (grid FAST pair), extract = detect+describe+stereo-match+
+    # triangulate, motion (interframe RANSAC+LM), tracker+BA =
+    # windowed-step minus plain-step (derived below from fps).
+    from front_end_tpu.ops import grid as grid_mod
+
+    def _stage_ms(fn, *args, n=30):
+        f = jax.jit(fn)
+        o = f(*args)
+        _sync(jax.tree.leaves(o)[0])
+        t0 = time.perf_counter()
+        for _ in range(n):
+            o = f(*args)
+        _sync(jax.tree.leaves(o)[0])
+        return 1000.0 * (time.perf_counter() - t0) / n
+
+    st_detect = _stage_ms(
+        lambda l, r, tl, tr: grid_mod.detect_pair(l, r, tl, tr, cfg.grid),
+        L[0], R[0], state.thresholds_l, state.thresholds_r)
+    st_extract = _stage_ms(
+        lambda l, r, tl, tr: vo._extract_frame(l, r, tl, tr, rig, cfg),
+        L[0], R[0], state.thresholds_l, state.thresholds_r)
+    feats0 = jax.jit(lambda l, r, tl, tr: vo._extract_frame(
+        l, r, tl, tr, rig, cfg))(L[0], R[0], state.thresholds_l,
+                                 state.thresholds_r)[0]
+    import jax.random as jrandom
+    st_motion = _stage_ms(
+        lambda k, c, p: vo._estimate_motion(k, c, p, rig, cfg),
+        jrandom.PRNGKey(0), feats0, feats0)
 
     # ---- end-to-end (disk -> native decode -> prefetch -> step) --------
     fps_feed = _bench_feed_inclusive(step, vo.init_state(rig, cfg),
@@ -304,6 +359,35 @@ def main():
             "fps_feed_inclusive": (round(fps_feed, 2)
                                    if fps_feed else None),
             "h2d_link_mb_per_s": round(h2d_mbps, 1),
+            "h2d_pipelined_mb_per_s": round(h2d_pipe_mbps, 1),
+            "stage_ms": {
+                "detect_pair": round(st_detect, 3),
+                "describe_match_triangulate": round(
+                    max(st_extract - st_detect, 0.0), 3),
+                "extract_total": round(st_extract, 3),
+                "motion_ransac_lm": round(st_motion, 3),
+                "tracker_ba_overhead": round(
+                    1000.0 / max(fps_win, 1e-9)
+                    - 1000.0 / max(fps, 1e-9), 3),
+                # standalone stage timings exceed ms_per_frame: inside
+                # the fused step XLA overlaps/fuses across stage
+                # boundaries and per-frame dispatches pipeline, so the
+                # sum bounds — not equals — the whole-step time
+                "note": "stages timed standalone; fused step overlaps "
+                        "them, so sum > ms_per_frame",
+            },
+            "roofline": (
+                f"feed {round(fps_feed, 1) if fps_feed else 0} fps x "
+                f"{0.93:.2f} MB/frame = "
+                f"{round((fps_feed or 0) * 0.93, 1)} MB/s effective "
+                f"(nominal bytes; tunnel compresses real frames on the "
+                f"wire) vs {round(h2d_mbps, 1)} MB/s one batched put / "
+                f"{round(h2d_pipe_mbps, 1)} MB/s frame-sized sequential "
+                f"puts (the feed's transfer shape — puts serialize on "
+                f"this tunnel, the feed wins by overlapping decode + "
+                f"compute); compute is VPU/gather-bound at this "
+                f"resolution (detect {st_detect:.2f} ms is dense "
+                f"stencils + top-k, not MXU matmul)"),
             "fps_subpix_on": round(fps_subpix, 2),
             "fps_brief16": round(fps_b16, 2),
             "fps_device_scan": round(fps_scan, 2),

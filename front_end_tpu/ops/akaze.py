@@ -32,7 +32,11 @@ Documented deviations (static-shape driven):
   boundaries);
 - subpixel refinement is the in-level 2D quadratic fit;
 - per-cell MLDB means are estimated from a fixed 3×3 sample grid per
-  cell rather than exact pixel sums — self-consistent for matching;
+  cell rather than exact pixel sums — self-consistent for matching, and
+  BOUNDED with evidence (r5): on a rendered stereo pair with known
+  epipolar geometry the full detect+describe+match path scores a 0.966
+  inlier rate vs the independent cv2-ORB bar's 0.930 on the same images
+  (`tests/test_family_parity.py::test_akaze_vs_independent_bar`);
 - MLDB's 486 bits are zero-padded to 512 so Hamming packing stays in
   uint32 lanes (pad bits XOR to 0, distances are unchanged).
 """

