@@ -282,14 +282,36 @@ def cmd_vo(args):
         # live window mode: tracker + windowed Schur BA in the loop
         # (the reference's window_node / WindowMatcher pipeline)
         from front_end_tpu.pipeline import window_vo
+        # --shard-ba N: run the per-window BA landmark-sharded over the
+        # first N devices (the live multi-chip mode; ba/distributed.py).
+        # On a multi-chip slice the psums ride ICI; on this rig's single
+        # chip it degenerates to N=1, and the CPU-mesh tests exercise
+        # N=8 (tests/test_sharded_window.py).
+        ba_mesh = None
+        ba_max_landmarks = 2048
+        if args.shard_ba:
+            from front_end_tpu.ba import distributed as dist_mod
+            n = min(args.shard_ba, len(jax.devices()))
+            ba_mesh = dist_mod.make_mesh(n)
+            ba_max_landmarks = -(-2048 // n) * n
+            print(f"windowed BA sharded over {n} device(s) "
+                  f"(landmark axis)")
         wcfg = window_vo.WindowVOConfig.create(
-            cfg, window=args.window_size, ba_every=args.ba_every)
+            cfg, window=args.window_size, ba_every=args.ba_every,
+            ba_mesh=ba_mesh, ba_max_landmarks=ba_max_landmarks)
+        # frames must not be committed to a single device when the step
+        # contains a shard_map over the mesh: feed them replicated
+        feed_device = None
+        if ba_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            feed_device = NamedSharding(ba_mesh, PartitionSpec())
         state = window_vo.init_state(rig, wcfg)
         if args.resume:
             state = ckpt_mod.load_pytree(args.resume, state)
         step = jax.jit(
             lambda s, l, r: window_vo.window_vo_step(s, l, r, rig, wcfg))
-        for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter))):
+        for i, (l, r) in enumerate(DeviceFeed(skip_done(frame_iter),
+                                              device=feed_device)):
             if tlog is not None:
                 # the fetch must sit INSIDE the timed region:
                 # block_until_ready can return before execution
@@ -457,6 +479,9 @@ def main(argv=None):
                    help="live window mode: tracker + windowed BA")
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
+    v.add_argument("--shard-ba", type=int, default=0, metavar="N",
+                   help="shard the live windowed BA's landmark blocks "
+                        "over the first N devices (0 = single-device)")
     v.add_argument("--debug-images", default=None, metavar="DIR",
                    help="write live match overlays + anaglyph track "
                         "images every --debug-every frames to DIR (the "

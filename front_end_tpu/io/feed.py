@@ -46,7 +46,12 @@ class DeviceFeed:
         self._dtype = dtype
         self._err = None
         if threaded is None:
-            ver = getattr(getattr(self._device, "client", None),
+            # `device` may be a Sharding (e.g. replicated over a mesh
+            # for the sharded-BA live mode) — probe one of its devices
+            dev0 = self._device
+            if hasattr(dev0, "device_set"):
+                dev0 = next(iter(dev0.device_set))
+            ver = getattr(getattr(dev0, "client", None),
                           "platform_version", "") or ""
             threaded = "axon" not in ver.lower()
         self._threaded = threaded

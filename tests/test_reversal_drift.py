@@ -70,11 +70,20 @@ def _run(rig, cfg, lefts, rights):
     return np.stack(poses), n_stereo, ok
 
 
+@pytest.fixture(scope="module")
+def rigid_run(reversal_world):
+    """The default-config run, shared by both tests (120 frames is the
+    expensive part of this module — run it once)."""
+    rig, gt, lefts, rights = reversal_world
+    return _run(rig, _cfg(), lefts, rights)
+
+
 @pytest.mark.slow
 class TestReversalDrift:
-    def test_tracks_through_turn_and_matches_cv2(self, reversal_world):
+    def test_tracks_through_turn_and_matches_cv2(self, reversal_world,
+                                                 rigid_run):
         rig, gt, lefts, rights = reversal_world
-        poses, n_stereo, ok = _run(rig, _cfg(), lefts, rights)
+        poses, n_stereo, ok = rigid_run
 
         # 1. near-continuous tracking through the 180-degree turn: the
         # mid-turn frames see the side wall at 2 m under fast rotation
@@ -96,7 +105,7 @@ class TestReversalDrift:
         assert ate < 0.1 * path, (ate, path)
 
     def test_essential_motion_beats_rigid_on_fast_rotation(
-            self, reversal_world):
+            self, reversal_world, rigid_run):
         """The framework's Nister/essential capability must pay off
         exactly where the reference used it: rotation-rich motion.
         Fast yaw couples triangulation noise into 3D-3D alignment;
@@ -104,7 +113,7 @@ class TestReversalDrift:
         ATE 0.40 vs 0.69 m, endpoint closure 0.36 m on the 10 m
         out-and-back — 3.6% of path after a full 180° turn)."""
         rig, gt, lefts, rights = reversal_world
-        p_rigid, _, _ = _run(rig, _cfg(), lefts, rights)
+        p_rigid, _, _ = rigid_run
         p_ess, _, _ = _run(rig, _cfg(motion="essential"), lefts, rights)
         ate_r = metrics.ate_rmse(p_rigid[:, :3, 3], gt[:, :3, 3])
         ate_e = metrics.ate_rmse(p_ess[:, :3, 3], gt[:, :3, 3])

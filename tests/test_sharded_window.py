@@ -105,6 +105,21 @@ class TestShardedLiveWindow:
         # normalization) — audited solve psums + exactly those 2
         assert n == audit["psums_per_solve"] + 2, (n, audit)
 
+    @pytest.mark.slow
+    def test_cli_shard_ba_flag(self, tmp_path):
+        """User surface: `cli vo --window --shard-ba 8` runs the live
+        windowed pipeline with its BA sharded over the mesh."""
+        import sys
+        sys.path.insert(0, str(__import__("pathlib").Path(
+            __file__).parent))
+        from test_kitti_format import _make_kitti_root
+
+        from front_end_tpu import cli
+
+        root, _ = _make_kitti_root(tmp_path, n_frames=6)
+        cli.main(["vo", "--kitti", root, "--seq", "07", "--frames", "6",
+                  "--window", "--shard-ba", "8"])
+
     def test_mesh_requires_divisible_compaction(self):
         from front_end_tpu.window import tracker as tracker_mod
 
