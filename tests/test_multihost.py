@@ -89,3 +89,39 @@ def test_two_process_distributed_ba(tmp_path):
                                        iters=6, huber_px=2.0)
     assert np.allclose(z["poses"], np.array(ref.poses), atol=2e-2), (
         np.abs(z["poses"] - np.array(ref.poses)).max())
+
+    # ---- live windowed pipeline ran 2-process: parity vs 1-process ----
+    # The workers drove real window_vo steps with the in-step BA psums
+    # crossing the process boundary; the trajectory must match the
+    # SAME pipeline run single-process with an unsharded BA.
+    assert z["ba_ran"].any(), z["ba_ran"]
+    import jax.numpy as jnp
+    from __graft_entry__ import _make_sequence
+    from front_end_tpu.geometry.camera import StereoRig as SR
+    from front_end_tpu.ops import grid as grid_mod
+    from front_end_tpu.pipeline import vo as vo_mod
+    from front_end_tpu.pipeline import window_vo
+
+    h, w = 96, 160
+    vrig = SR.create(fx=80.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
+                     baseline=0.5, width=w, height=h)
+    vcfg = vo_mod.VOConfig(
+        grid=grid_mod.GridConfig(cell_capacity=32, set_point=150,
+                                 init_threshold=10.0),
+        desc_bytes=16, ransac_hyps=32, ransac_threshold=0.2,
+        max_disparity=20.0, min_track_inliers=4)
+    wcfg = window_vo.WindowVOConfig.create(
+        vcfg, window=3, ba_every=1, ba_iters=3, capacity=256,
+        ba_max_landmarks=128)
+    lefts, rights = _make_sequence(4, h, w)
+    state = window_vo.init_state(vrig, wcfg)
+    step = jax.jit(lambda s, l, r: window_vo.window_vo_step(
+        s, l, r, vrig, wcfg))
+    ref_traj = []
+    for t in range(4):
+        state, outw = step(state, jnp.asarray(lefts[t]),
+                           jnp.asarray(rights[t]))
+        ref_traj.append(np.asarray(outw.frame.pose))
+    ref_traj = np.stack(ref_traj)
+    assert np.allclose(z["traj"], ref_traj, atol=5e-3), (
+        np.abs(z["traj"] - ref_traj).max())
