@@ -255,16 +255,49 @@ def main():
     # detect (grid FAST pair), extract = detect+describe+stereo-match+
     # triangulate, motion (interframe RANSAC+LM), tracker+BA =
     # windowed-step minus plain-step (derived below from fps).
+    #
+    # Measurement shape matters on this rig: EVERY standalone jit call
+    # pays a ~1-2 ms remote-dispatch floor (measured r5: a (8,)-add
+    # costs 1.7 ms/call), which swamps sub-ms stages.  So each stage is
+    # timed as ONE dispatch of a lax.scan over n iterations whose carry
+    # perturbs the input by ~1e-30 (forcing serial, non-hoistable
+    # iterations); per-iteration time is then the on-chip stage cost.
     from front_end_tpu.ops import grid as grid_mod
 
-    def _stage_ms(fn, *args, n=30):
-        f = jax.jit(fn)
-        o = f(*args)
-        _sync(jax.tree.leaves(o)[0])
+    def _stage_ms(fn, *args, n=50):
+        args = jax.tree.map(jnp.asarray, args)
+
+        @jax.jit
+        def run(args):
+            def perturb(tree, carry):
+                # add carry*1e-30 to the FIRST float leaf (PRNG keys and
+                # masks stay untouched)
+                leaves, treedef = jax.tree.flatten(tree)
+                done = False
+                out = []
+                for lf in leaves:
+                    if not done and jnp.issubdtype(lf.dtype, jnp.floating):
+                        out.append(lf + carry * 1e-30)
+                        done = True
+                    else:
+                        out.append(lf)
+                return jax.tree.unflatten(treedef, out)
+
+            def body(carry, _):
+                o = fn(*perturb(args, carry))
+                # consume ONE element of EVERY output leaf — consuming
+                # only the first leaf lets XLA dead-code-eliminate the
+                # stages that don't feed it (measured: describe+match
+                # "cost" 0.005 ms until this fix)
+                tap = sum(jnp.ravel(lf)[0].astype(jnp.float32)
+                          for lf in jax.tree.leaves(o))
+                return carry + tap * 1e-30, None
+            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return c
+
+        _sync(run(args))                     # compile + settle
         t0 = time.perf_counter()
-        for _ in range(n):
-            o = f(*args)
-        _sync(jax.tree.leaves(o)[0])
+        _sync(run(args))
         return 1000.0 * (time.perf_counter() - t0) / n
 
     st_detect = _stage_ms(
@@ -369,12 +402,13 @@ def main():
                 "tracker_ba_overhead": round(
                     1000.0 / max(fps_win, 1e-9)
                     - 1000.0 / max(fps, 1e-9), 3),
-                # standalone stage timings exceed ms_per_frame: inside
-                # the fused step XLA overlaps/fuses across stage
-                # boundaries and per-frame dispatches pipeline, so the
-                # sum bounds — not equals — the whole-step time
-                "note": "stages timed standalone; fused step overlaps "
-                        "them, so sum > ms_per_frame",
+                # stages timed as one on-device scan (amortizing the
+                # ~1-2 ms/dispatch remote floor); the fused step shares
+                # work across stage boundaries (e.g. one smooth feeds
+                # both describe passes), so the sum bounds — not equals
+                # — ms_per_frame
+                "note": "on-chip scan-amortized; fused step dedups "
+                        "cross-stage work, so sum >= ms_per_frame",
             },
             "roofline": (
                 f"feed {round(fps_feed, 1) if fps_feed else 0} fps x "

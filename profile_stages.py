@@ -33,21 +33,59 @@ R = jax.device_put(jnp.asarray(rights[0]))
 state = vo.init_state(rig, cfg)
 
 
+def _sync(out):
+    """Fetch one scalar element of the first leaf: on the remote-TPU
+    backend `block_until_ready` can return while work is still queued
+    (see bench._sync) — only a real device->host fetch proves the chain
+    executed.  The tiny dependent slice forces the producer to finish
+    while transferring only bytes."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[0])
+
+
 def bench_fn(name, fn, *args, n=30):
+    """On-chip per-iteration time via ONE dispatch of a lax.scan.
+
+    A standalone jit call on this rig pays a ~1-2 ms remote-dispatch
+    floor (a (8,)-add measures 1.7 ms/call), which swamps sub-ms
+    stages; the scan's carry perturbs the first float input by ~1e-30
+    so iterations are serial and non-hoistable, and the floor amortizes
+    over n."""
     if ONLY and not any(name.startswith(p) for p in ONLY):
         return None
-    f = jax.jit(fn)
+    args = jax.tree.map(jnp.asarray, args)
+
+    @jax.jit
+    def run(args):
+        def perturb(tree, carry):
+            leaves, treedef = jax.tree.flatten(tree)
+            done, out = False, []
+            for lf in leaves:
+                if not done and jnp.issubdtype(lf.dtype, jnp.floating):
+                    out.append(lf + carry * 1e-30)
+                    done = True
+                else:
+                    out.append(lf)
+            return jax.tree.unflatten(treedef, out)
+
+        def body(carry, _):
+            o = fn(*perturb(args, carry))
+            # consume one element of EVERY leaf or XLA dead-code-
+            # eliminates the stages that don't feed the carry
+            tap = sum(jnp.ravel(lf)[0].astype(jnp.float32)
+                      for lf in jax.tree.leaves(o))
+            return carry + tap * 1e-30, None
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return c
+
     tc = time.perf_counter()
-    out = f(*args)
-    jax.block_until_ready(out)
+    _sync(run(args))
     tc = time.perf_counter() - tc
     t0 = time.perf_counter()
-    for _ in range(n):
-        out = f(*args)
-    jax.block_until_ready(out)
+    _sync(run(args))
     dt = (time.perf_counter() - t0) / n * 1e3
     print(f"{name:34s} {dt:7.3f} ms   (compile {tc:.1f}s)", flush=True)
-    return out
+    return jax.jit(fn)(*args)
 
 
 # whole step
