@@ -49,8 +49,12 @@ class WindowVOConfig:
     # pipeline's multi-chip mode.  None = single-device BA.
     ba_mesh: object = struct.field(pytree_node=False, default=None)
     # compacted-problem size handed to the BA (must divide by the mesh's
-    # landmark axis when ba_mesh is set)
-    ba_max_landmarks: int = struct.field(pytree_node=False, default=2048)
+    # landmark axis when ba_mesh is set).  1024 is the measured knee
+    # (r5, real chip at KITTI res, ba_every=2 iters=2: K=2048 -> 209
+    # fps, K=1024 -> 230, K=512 -> 241, rendered-world ATE identical
+    # 0.0274 at every K); it also matches the reference's own window
+    # scale (set-point 1000 features/frame, live_stereo.cpp:135).
+    ba_max_landmarks: int = struct.field(pytree_node=False, default=1024)
 
     @staticmethod
     def create(vo_cfg: vo_mod.VOConfig, *, window: int = 3,

@@ -241,7 +241,7 @@ def tracked_pairs(state_prev: WindowState, upd: TrackUpdate, X_cam_cur):
 def run_window_ba(state: WindowState, rig: StereoRig, *, iters: int = 8,
                   huber_px: float = 3.0, min_obs: int = 2,
                   outlier_gate_px: float = 8.0,
-                  max_landmarks: int | None = 2048,
+                  max_landmarks: int | None = 1024,
                   mesh=None):
     """Windowed BA over the store: optimize the W window poses (+ the
     landmarks observed >= min_obs times in-window).  Returns the updated
