@@ -196,6 +196,86 @@ def _detect_from_map(smap, thresholds, cfg: GridConfig) -> GridDetections:
     return GridDetections(keypoints=kps, thresholds=new_t, cell_counts=counts)
 
 
+def _select_from_pooled(pooled, code, counts, thresholds,
+                        cfg: GridConfig, H: int, W: int
+                        ) -> GridDetections:
+    """Controller update + per-cell top-k from the KERNEL's 2x2-pooled
+    winner maps (`fast_kernel.fast_detect_grid_pallas`: per-block
+    winner score + sub-position code, 0 = empty block; counts exact).
+
+    The full-res response map never existed in HBM, so selection only
+    traverses the 4x-smaller pooled maps.  Pooling runs on the GLOBAL
+    even grid, so when a cell boundary is odd a boundary corner may
+    occupy the neighbouring cell's capacity slot (its coordinates stay
+    exact); with even cell dims the selected set is identical to the
+    XLA path's (tested in interpret mode)."""
+    Gr, Gc = cfg.grid_rows, cfg.grid_cols
+    ch, cw = _cell_dims(H, W, cfg)
+
+    err = counts.astype(jnp.float32) - cfg.cell_set_points()
+    move = jnp.abs(err) > cfg.hysteresis * cfg.cell_set_points()
+    delta = jnp.where(err > 0, 1.0, -1.0) * move
+    new_t = jnp.clip(thresholds + delta, cfg.min_threshold,
+                     cfg.max_threshold)
+
+    H2, W2 = pooled.shape[-2:]
+    # per-cell pooled regions: cell (gr, gc) covers pooled rows
+    # [gr*ch//2, ceil((gr+1)*ch/2)) etc; slice per cell (static Python
+    # loop over the Gr*Gc cells), pad to a common flat length
+    cell_s, cell_c, cell_meta = [], [], []
+    maxlen = 0
+    for gr in range(Gr):
+        r0, r1 = (gr * ch) // 2, min(-(-((gr + 1) * ch) // 2), H2)
+        for gc in range(Gc):
+            c0, c1 = (gc * cw) // 2, min(-(-((gc + 1) * cw) // 2), W2)
+            cell_s.append(pooled[r0:r1, c0:c1].reshape(-1))
+            cell_c.append(code[r0:r1, c0:c1].reshape(-1))
+            cell_meta.append((r0, c0, r1 - r0, c1 - c0))
+            maxlen = max(maxlen, (r1 - r0) * (c1 - c0))
+    cells = jnp.stack([
+        jnp.pad(a, (0, maxlen - a.shape[0]), constant_values=0.0)
+        for a in cell_s])                           # (Gr*Gc, maxlen)
+    codes = jnp.stack([
+        jnp.pad(a, (0, maxlen - a.shape[0]), constant_values=0.0)
+        for a in cell_c])
+
+    k = cfg.cell_capacity
+    score, idx = _topk_2stage(cells, k, cfg.chunk_size, cfg.chunk_topk)
+    wcode = jnp.take_along_axis(codes, idx, axis=-1)
+    sub_y = jnp.floor(wcode / 2.0)
+    sub_x = wcode - sub_y * 2.0
+
+    pw_cells = jnp.asarray([m[3] for m in cell_meta], jnp.int32)
+    r0s = jnp.asarray([m[0] for m in cell_meta], jnp.int32)
+    c0s = jnp.asarray([m[1] for m in cell_meta], jnp.int32)
+    pyc = idx // pw_cells[:, None] + r0s[:, None]   # global pooled row
+    pxc = idx % pw_cells[:, None] + c0s[:, None]
+    ys = (2 * pyc).astype(jnp.float32) + sub_y
+    xs = (2 * pxc).astype(jnp.float32) + sub_x
+    ys = jnp.minimum(ys, H - 1.0).reshape(-1)
+    xs = jnp.minimum(xs, W - 1.0).reshape(-1)
+    score = score.reshape(-1)
+    valid = score > 0
+
+    kps = Keypoints(
+        xy=jnp.stack([xs, ys], -1),
+        score=score,
+        angle=jnp.zeros_like(score),
+        valid=valid)
+    return GridDetections(keypoints=kps, thresholds=new_t,
+                          cell_counts=counts)
+
+
+def _use_fused_grid_kernel(cfg: GridConfig, *arrays) -> bool:
+    """The fused detect+pool+count kernel needs the real TPU backend
+    (same policy as fast.detect_dense) and even kernel tiles (always
+    true for the 128x256 default)."""
+    from front_end_tpu.ops.fast import _is_batch_tracer
+    return (jax.default_backend() == "tpu"
+            and not any(_is_batch_tracer(jnp.asarray(a))
+                        for a in arrays))
+
+
 def detect_pair(left, right, tl, tr, cfg: GridConfig):
     """Stereo pair convenience: batch L/R through one program (the
     reference ran them on separate threads — here they share one fused
@@ -204,11 +284,24 @@ def detect_pair(left, right, tl, tr, cfg: GridConfig):
     imgs = jnp.stack([left, right])
     tmaps = jnp.stack([threshold_image(tl, H, W, cfg),
                        threshold_image(tr, H, W, cfg)])
-    # margins on the (2, H, W) stack BEFORE the vmap: the Pallas FAST
-    # kernel launches once for the pair (it cannot batch under vmap)
-    smaps = fast_mod.detect_dense(imgs, tmaps, cfg.fast_type, nms=True)
-    ts = jnp.stack([tl, tr])
-    det = jax.vmap(lambda s, t: _detect_from_map(s, t, cfg))(smaps, ts)
+    ch, cw = _cell_dims(H, W, cfg)
+    if _use_fused_grid_kernel(cfg, imgs, tmaps):
+        # one kernel emits the pooled winner maps + exact counts; the
+        # (H, W) response map never reaches HBM
+        from front_end_tpu.ops.pallas import fast_kernel
+        pooled, code, counts = fast_kernel.fast_detect_grid_pallas(
+            imgs, tmaps, cfg.fast_type, nms=True,
+            cell=(cfg.grid_rows, cfg.grid_cols, ch, cw))
+        det = jax.vmap(lambda p, c, n, t: _select_from_pooled(
+            p, c, n, t, cfg, H, W))(pooled, code, counts,
+                                    jnp.stack([tl, tr]))
+    else:
+        # margins on the (2, H, W) stack BEFORE the vmap: the Pallas
+        # FAST kernel launches once for the pair (cannot batch in vmap)
+        smaps = fast_mod.detect_dense(imgs, tmaps, cfg.fast_type,
+                                      nms=True)
+        ts = jnp.stack([tl, tr])
+        det = jax.vmap(lambda s, t: _detect_from_map(s, t, cfg))(smaps, ts)
     left_det = jax.tree.map(lambda a: a[0], det)
     right_det = jax.tree.map(lambda a: a[1], det)
     return left_det, right_det

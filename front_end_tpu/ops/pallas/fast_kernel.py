@@ -240,6 +240,214 @@ def fast_detect_pallas(img, threshold, fast_type: str = "9_16",
     return out
 
 
+def _detect_grid_kernel(img_ref, t_ref, pooled_ref, code_ref, cnt_ref,
+                        scratch, tscr, sem, tsem, *, tile_h, tile_w,
+                        circle, K, H, W, nms, Gr, Gc, ch, cw):
+    """FAST margins + threshold + NMS + 2x2 winner pooling + per-cell
+    survivor counts — the ENTIRE grid-detection front half in one HBM
+    round-trip.  The full-res response map never reaches HBM: downstream
+    selection reads the 4x-smaller pooled score map (plus a same-sized
+    sub-position code map: sub_y*2 + sub_x of each block's winner) and
+    the counts come out exact, so the XLA side never has to traverse a
+    (H, W) map again (measured r5: every such traversal costs ~0.6 ms
+    at KITTI res — more than this whole kernel)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    copy = pltpu.make_async_copy(
+        img_ref.at[b,
+                   pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
+                   pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
+        scratch, sem)
+    copy.start()
+    tcopy = pltpu.make_async_copy(
+        t_ref.at[b,
+                 pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
+                 pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
+        tscr, tsem)
+    tcopy.start()
+    copy.wait()
+
+    h = tile_h + 2 * HALO_Y
+    w = tile_w + 2 * HALO_X
+    full = scratch[:, :]
+
+    def tap(src, dx, dy):
+        r = pltpu.roll(src, (-dy) % h, axis=0)
+        return pltpu.roll(r, (-dx) % w, axis=1)
+
+    n = len(circle)
+    dark = [full - tap(full, dx, dy) for (dx, dy) in circle]
+    bright = [-d for d in dark]
+    arc_margin = functools.partial(_arc_margin, n=n, K=K)
+
+    def quick_margin(d):
+        m = None
+        for k in range(8):
+            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
+            m = pair if m is None else jnp.minimum(m, pair)
+        return m
+
+    run_d = arc_margin(dark)
+    run_b = arc_margin(bright)
+    score = jnp.maximum(run_d, run_b)
+    if n == 16:
+        detect = score
+    else:
+        detect = jnp.maximum(jnp.minimum(run_d, quick_margin(dark)),
+                             jnp.minimum(run_b, quick_margin(bright)))
+
+    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+          + i * tile_h - HALO_Y)
+    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+          + j * tile_w - HALO_X)
+    interior = ((ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4))
+
+    tcopy.wait()
+    corner = (detect > tscr[:, :]) & interior
+    s = jnp.where(corner, score, 0.0)
+    if nms:
+        neigh = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                v = tap(s, dx, dy)
+                neigh = v if neigh is None else jnp.maximum(neigh, v)
+        s = jnp.where(s > neigh, s, 0.0)
+    st = s[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
+
+    # ---- per-cell survivor counts (cropped to whole cells, like the
+    # XLA path's smap[:Gr*ch, :Gc*cw]) ---------------------------------
+    yt = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+          + i * tile_h)
+    xt = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+          + j * tile_w)
+    alive = st > 0.0
+    cnt = jnp.zeros((8, 128), jnp.float32)
+    for gr in range(Gr):
+        for gc in range(Gc):
+            in_cell = (alive
+                       & (yt >= gr * ch) & (yt < (gr + 1) * ch)
+                       & (xt >= gc * cw) & (xt < (gc + 1) * cw))
+            c = jnp.sum(in_cell.astype(jnp.float32))
+            ry = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+            rx = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+            cnt = jnp.where((ry == gr) & (rx == gc), c, cnt)
+    cnt_ref[0, 0, :, :] = cnt
+
+    # ---- 2x2 winner pool (tile dims even => blocks align with the
+    # GLOBAL even grid).  Mosaic cannot lower strided slices/reshapes,
+    # so deinterleaving rides one-hot compaction MATMULS (exact: one
+    # nonzero per output row/col; precision HIGHEST keeps f32 scores
+    # bit-exact) after roll-based pair maxima. --------------------------
+    HI = jax.lax.Precision.HIGHEST
+    colB = pltpu.roll(st, (-1) % tile_w, axis=1)   # value at c = st[c+1]
+    mcol = jnp.maximum(st, colB)                   # even cols: pair max
+    w1f = (colB > st).astype(jnp.float32)          # even cols: sub_x
+
+    ic = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_w // 2), 0)
+    ij = jax.lax.broadcasted_iota(jnp.int32, (tile_w, tile_w // 2), 1)
+    SC = (ic == 2 * ij).astype(jnp.float32)        # even-col selector
+    mc = jax.lax.dot_general(mcol, SC, (((1,), (0,)), ((), ())),
+                             precision=HI,
+                             preferred_element_type=jnp.float32)
+    w1c = jax.lax.dot_general(w1f, SC, (((1,), (0,)), ((), ())),
+                              precision=HI,
+                              preferred_element_type=jnp.float32)
+
+    ir = jax.lax.broadcasted_iota(jnp.int32, (tile_h // 2, tile_h), 0)
+    ik = jax.lax.broadcasted_iota(jnp.int32, (tile_h // 2, tile_h), 1)
+    SEr = (ik == 2 * ir).astype(jnp.float32)       # even-row selector
+    SOr = (ik == 2 * ir + 1).astype(jnp.float32)   # odd-row selector
+    rA = jax.lax.dot_general(SEr, mc, (((1,), (0,)), ((), ())),
+                             precision=HI,
+                             preferred_element_type=jnp.float32)
+    rB = jax.lax.dot_general(SOr, mc, (((1,), (0,)), ((), ())),
+                             precision=HI,
+                             preferred_element_type=jnp.float32)
+    pooled = jnp.maximum(rA, rB)                   # (tile_h/2, tile_w/2)
+    w2 = rB > rA
+    w1A = jax.lax.dot_general(SEr, w1c, (((1,), (0,)), ((), ())),
+                              precision=HI,
+                              preferred_element_type=jnp.float32)
+    w1B = jax.lax.dot_general(SOr, w1c, (((1,), (0,)), ((), ())),
+                              precision=HI,
+                              preferred_element_type=jnp.float32)
+    sub_x = jnp.where(w2, w1B, w1A)
+    pooled_ref[0, :, :] = pooled
+    code_ref[0, :, :] = jnp.where(w2, 2.0, 0.0) + sub_x
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "fast_type", "nms", "cell", "tile_h", "tile_w", "interpret"))
+def fast_detect_grid_pallas(img, threshold, fast_type: str = "9_16",
+                            nms: bool = True, *, cell,
+                            tile_h: int = 128, tile_w: int = 256,
+                            interpret: bool = False):
+    """Fused grid-detection front half on TPU.
+
+    cell = (Gr, Gc, ch, cw) static cell geometry.  Returns
+    (pooled (B, Hp/2, Wp/2) score of each 2x2 block's winner (0 =
+    empty), code (same shape; sub_y*2 + sub_x of the winner), counts
+    (B, Gr, Gc) int32 exact per-cell post-NMS survivor counts).  The
+    full-res response map is never written to HBM."""
+    Gr, Gc, ch, cw = cell
+    assert Gr <= 8 and Gc <= 128, (Gr, Gc)
+    circle, K = TYPES[fast_type]
+    img = jnp.asarray(img, jnp.float32)
+    squeeze = img.ndim == 2
+    if squeeze:
+        img = img[None]
+    B, H, W = img.shape
+    tmap = jnp.broadcast_to(jnp.asarray(threshold, jnp.float32), img.shape)
+    Hp = -(-H // tile_h) * tile_h
+    Wp = -(-W // tile_w) * tile_w
+    pad = ((0, 0), (HALO_Y, Hp - H + HALO_Y), (HALO_X, Wp - W + HALO_X))
+    padded = jnp.pad(img, pad, mode="edge")
+    tpadded = jnp.pad(tmap, pad, mode="edge")
+
+    NI, NJ = Hp // tile_h, Wp // tile_w
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(B, NI, NJ),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, tile_h // 2, tile_w // 2),
+                         lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, tile_h // 2, tile_w // 2),
+                         lambda b, i, j: (b, i, j)),
+            pl.BlockSpec((1, 1, 8, 128),
+                         lambda b, i, j: (b, i * NJ + j, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * HALO_Y, tile_w + 2 * HALO_X),
+                       jnp.float32),
+            pltpu.VMEM((tile_h + 2 * HALO_Y, tile_w + 2 * HALO_X),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    pooled, code, cnt = pl.pallas_call(
+        functools.partial(_detect_grid_kernel, tile_h=tile_h,
+                          tile_w=tile_w, circle=circle, K=K, H=H, W=W,
+                          nms=nms, Gr=Gr, Gc=Gc, ch=ch, cw=cw),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hp // 2, Wp // 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hp // 2, Wp // 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, NI * NJ, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(padded, tpadded)
+    counts = jnp.sum(cnt, axis=1)[:, :Gr, :Gc].astype(jnp.int32)
+    if squeeze:
+        return pooled[0], code[0], counts[0]
+    return pooled, code, counts
+
+
 @functools.partial(jax.jit, static_argnames=("fast_type", "tile_h",
                                              "tile_w", "interpret"))
 def fast_margins_pallas(img, fast_type: str = "9_16", *,
