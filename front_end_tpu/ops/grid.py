@@ -126,6 +126,14 @@ def detect(img, thresholds, cfg: GridConfig) -> GridDetections:
     """
     H, W = img.shape[-2:]
     tmap = threshold_image(thresholds, H, W, cfg)
+    if _use_fused_grid_kernel(cfg, img, tmap):
+        from front_end_tpu.ops.pallas import fast_kernel
+        ch, cw = _cell_dims(H, W, cfg)
+        pooled, code, counts = fast_kernel.fast_detect_grid_pallas(
+            img, tmap, cfg.fast_type, nms=True,
+            cell=(cfg.grid_rows, cfg.grid_cols, ch, cw))
+        return _select_from_pooled(pooled, code, counts, thresholds,
+                                   cfg, H, W)
     smap = fast_mod.detect_dense(img, tmap, cfg.fast_type, nms=True)
     return _detect_from_map(smap, thresholds, cfg)
 
