@@ -288,17 +288,23 @@ def cmd_vo(args):
         # chip it degenerates to N=1, and the CPU-mesh tests exercise
         # N=8 (tests/test_sharded_window.py).
         ba_mesh = None
-        ba_max_landmarks = 2048
+        ba_max_landmarks = 1024          # measured knee (WINDOW_TRADEOFF)
         if args.shard_ba:
             from front_end_tpu.ba import distributed as dist_mod
             n = min(args.shard_ba, len(jax.devices()))
             ba_mesh = dist_mod.make_mesh(n)
-            ba_max_landmarks = -(-2048 // n) * n
+            ba_max_landmarks = -(-1024 // n) * n
             print(f"windowed BA sharded over {n} device(s) "
                   f"(landmark axis)")
         wcfg = window_vo.WindowVOConfig.create(
             cfg, window=args.window_size, ba_every=args.ba_every,
             ba_mesh=ba_mesh, ba_max_landmarks=ba_max_landmarks)
+        if args.max_age is not None:
+            # track-retention horizon; the measured companion knob for
+            # longer windows (W=6 + max_age=5 -> 0.0177 m rendered ATE,
+            # reports/r5/WINDOW_TRADEOFF.md)
+            wcfg = wcfg.replace(
+                tracker=wcfg.tracker.replace(max_age=args.max_age))
         # frames must not be committed to a single device when the step
         # contains a shard_map over the mesh: feed them replicated
         feed_device = None
@@ -479,6 +485,9 @@ def main(argv=None):
                    help="live window mode: tracker + windowed BA")
     v.add_argument("--window-size", type=int, default=3)
     v.add_argument("--ba-every", type=int, default=1)
+    v.add_argument("--max-age", type=int, default=None,
+                   help="landmark track-retention horizon in frames "
+                        "(default 3; pair --window-size 6 with 5)")
     v.add_argument("--shard-ba", type=int, default=0, metavar="N",
                    help="shard the live windowed BA's landmark blocks "
                         "over the first N devices (0 = single-device)")
