@@ -227,15 +227,24 @@ def _select_from_pooled(pooled, code, counts, thresholds,
                      cfg.max_threshold)
 
     H2, W2 = pooled.shape[-2:]
-    # per-cell pooled regions: cell (gr, gc) covers pooled rows
-    # [gr*ch//2, ceil((gr+1)*ch/2)) etc; slice per cell (static Python
-    # loop over the Gr*Gc cells), pad to a common flat length
+    # per-cell pooled regions: a NON-OVERLAPPING partition of the pooled
+    # grid — floor bounds everywhere, ceil only on the final cell so the
+    # last odd row/col is covered.  (The first cut used ceil on every
+    # upper bound, which DUPLICATED the straddling pooled row/col into
+    # both neighbouring cells at odd cell dims: the duplicate consumed
+    # top-k capacity and silently dropped the weakest real corners —
+    # caught by the parity fuzz, seed 15.)  Static Python loop over the
+    # Gr*Gc cells; flat arrays padded to a common length.
     cell_s, cell_c, cell_meta = [], [], []
     maxlen = 0
     for gr in range(Gr):
-        r0, r1 = (gr * ch) // 2, min(-(-((gr + 1) * ch) // 2), H2)
+        r0 = (gr * ch) // 2
+        r1 = (min(-(-((gr + 1) * ch) // 2), H2) if gr == Gr - 1
+              else ((gr + 1) * ch) // 2)
         for gc in range(Gc):
-            c0, c1 = (gc * cw) // 2, min(-(-((gc + 1) * cw) // 2), W2)
+            c0 = (gc * cw) // 2
+            c1 = (min(-(-((gc + 1) * cw) // 2), W2) if gc == Gc - 1
+                  else ((gc + 1) * cw) // 2)
             cell_s.append(pooled[r0:r1, c0:c1].reshape(-1))
             cell_c.append(code[r0:r1, c0:c1].reshape(-1))
             cell_meta.append((r0, c0, r1 - r0, c1 - c0))

@@ -177,3 +177,76 @@ def test_fused_grid_detect_pair_wiring():
     dr_f = _fused_select(right, cfg)
     assert _kp_set(dl_x) == _kp_set(dl_f)
     assert _kp_set(dr_x) == _kp_set(dr_f)
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13, 14, 15, 16])
+def test_fused_grid_kernel_parity_fuzz(seed):
+    """Seed fuzz of the fused-vs-XLA selection parity (varying texture,
+    image size, grid geometry, set-point, threshold).  Exact set parity
+    is demanded on EVEN cell dims; counts must be exact always.  Seed 15
+    of the first version of this fuzz caught a real bug: overlapping
+    per-cell pooled slices at odd cell dims duplicated the straddling
+    row and silently dropped the weakest corners."""
+    rs = np.random.RandomState(seed)
+    img = jnp.asarray(_image(h=128 + 32 * (seed % 3), w=256, seed=seed))
+    h, w = img.shape
+    # pick the largest grid whose cells come out even
+    gr = next(g for g in (2, 1) if (h // g) % 2 == 0)
+    gc = next(g for g in (3, 2, 1) if (w // g) % 2 == 0)
+    cfg = _grid_cfg(grid_rows=gr, grid_cols=gc, cell_capacity=64,
+                    set_point=int(rs.randint(100, 600)),
+                    init_threshold=float(rs.randint(6, 20)))
+    _, det_x = _xla_select(img, cfg)
+    det_f = _fused_select(img, cfg)
+    np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
+                                  np.asarray(det_f.cell_counts))
+    assert _kp_set(det_x) == _kp_set(det_f)
+
+
+@pytest.mark.parametrize("seed", [21, 22, 23])
+def test_fused_grid_kernel_odd_cells_fuzz(seed):
+    """Odd cell dims: boundary blocks may shift a corner's CELL
+    attribution (capacity bookkeeping) but never its position/score,
+    never duplicate it, and counts stay exact."""
+    img = jnp.asarray(_image(h=126, w=252, seed=seed))   # 63x84... cells
+    cfg = _grid_cfg(grid_rows=2, grid_cols=3, cell_capacity=64,
+                    set_point=300, init_threshold=10.0)
+    from front_end_tpu.ops import grid as grid_mod
+    t = cfg.init_thresholds()
+    tmap = grid_mod.threshold_image(t, *img.shape, cfg)
+    smap = np.asarray(fast_mod.detect_dense(img, tmap, cfg.fast_type,
+                                            nms=True, backend="xla"))
+    _, det_x = _xla_select(img, cfg)
+    det_f = _fused_select(img, cfg)
+    np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
+                                  np.asarray(det_f.cell_counts))
+    kps = _kp_set(det_f)
+    assert len(kps) > 30
+    for x, y, s in kps:
+        assert smap[int(y), int(x)] == s
+    assert len({(x, y) for x, y, _ in kps}) == len(kps)
+
+
+@pytest.mark.tpu
+def test_fused_grid_kernel_compiled_on_tpu():
+    """On-chip: the COMPILED fused kernel (one-hot compaction matmuls,
+    roll deinterleave) must reproduce the XLA selection exactly on even
+    cell dims."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("needs real TPU")
+    from front_end_tpu.ops import grid as grid_mod
+    img = jnp.asarray(_image(h=192, w=256, seed=3))
+    cfg = _grid_cfg(grid_rows=2, grid_cols=2, cell_capacity=96,
+                    set_point=400, init_threshold=10.0)
+    t = cfg.init_thresholds()
+    tmap = grid_mod.threshold_image(t, *img.shape, cfg)
+    ch, cw = grid_mod._cell_dims(*img.shape, cfg)
+    pooled, code, counts = fast_kernel.fast_detect_grid_pallas(
+        img, tmap, cfg.fast_type, nms=True,
+        cell=(cfg.grid_rows, cfg.grid_cols, ch, cw))
+    det_f = grid_mod._select_from_pooled(pooled, code, counts, t, cfg,
+                                         *img.shape)
+    _, det_x = _xla_select(img, cfg)
+    np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
+                                  np.asarray(det_f.cell_counts))
+    assert _kp_set(det_x) == _kp_set(det_f)
