@@ -250,3 +250,19 @@ def test_fused_grid_kernel_compiled_on_tpu():
     np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
                                   np.asarray(det_f.cell_counts))
     assert _kp_set(det_x) == _kp_set(det_f)
+
+
+@pytest.mark.parametrize("fast_type", ["9_16", "7_12", "5_8"])
+def test_fused_grid_kernel_all_circle_types(fast_type):
+    """The fused kernel's parity must hold for every FAST circle type
+    the grid can be configured with (the reference's live pipeline uses
+    TYPE_7_12, live_stereo.cpp:293)."""
+    img = jnp.asarray(_image(h=192, w=252, seed=9))
+    cfg = _grid_cfg(grid_rows=2, grid_cols=3, cell_capacity=64,
+                    set_point=300, init_threshold=10.0,
+                    fast_type=fast_type)
+    _, det_x = _xla_select(img, cfg)
+    det_f = _fused_select(img, cfg)
+    np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
+                                  np.asarray(det_f.cell_counts))
+    assert _kp_set(det_x) == _kp_set(det_f)
