@@ -151,6 +151,49 @@ class TestFamilyParity:
             f"BRISK inlier rate {r_my:.3f} ({n_my} matches) vs cv2-ORB "
             f"bar {bar:.3f} ({n_bar})")
 
+    @pytest.mark.parametrize("fam,metric,measured", [
+        ("BRIEF", "hamming", 0.978),
+        ("FREAK", "hamming", 0.964),
+        ("SURF", "l2", 0.959),
+    ])
+    def test_descriptor_families_vs_independent_bar(self, stereo_pair,
+                                                    fam, metric,
+                                                    measured):
+        """The remaining live descriptor swap set (BRIEF/FREAK/SURF —
+        none present in this cv2 build; SURF has no cv2 counterpart
+        anywhere since xfeatures2d) bounded against the cv2-ORB rate on
+        identical geometry, using the production grid-FAST detector.
+        Measured rates at time of writing are in the parametrization."""
+        from front_end_tpu import features as features_mod
+        from front_end_tpu.ops import grid as grid_mod
+        import jax.numpy as jnp
+
+        L, R = stereo_pair
+        bar, n_bar = _run_cv2(cv2.ORB_create(nfeatures=1024), "hamming",
+                              L, R)
+        cfg = grid_mod.GridConfig(grid_rows=2, grid_cols=3,
+                                  cell_capacity=128, set_point=700,
+                                  init_threshold=12.0)
+        ids = features_mod.ids_for(fam,
+                                   features_mod.descriptor_table())
+        fn, ok = features_mod.make_descriptor(ids[0])
+        assert ok
+        outs = []
+        for im in (L, R):
+            det = grid_mod.detect(jnp.asarray(im),
+                                  cfg.init_thresholds(), cfg)
+            v = np.asarray(det.keypoints.valid)
+            xy = np.asarray(det.keypoints.xy)
+            d = fn(jnp.asarray(im, np.float32), jnp.asarray(xy))
+            outs.append((xy[v], np.asarray(d.bits)[v]))
+        (xyl, dl), (xyr, dr) = outs
+        r_my, n_my = epi_inlier_rate(xyl, xyr,
+                                     nn_ratio_match(dl, dr, metric))
+        assert n_my >= 80, n_my
+        assert r_my >= 0.9 * bar, (
+            f"{fam} inlier rate {r_my:.3f} ({n_my} matches) vs cv2-ORB "
+            f"bar {bar:.3f} ({n_bar})")
+
     def test_akaze_vs_independent_bar(self, stereo_pair):
         """Bounds the documented MLDB approximations (per-cell means
         from a fixed sample grid, same-octave extrema — ops/akaze.py):
