@@ -256,49 +256,15 @@ def main():
     # triangulate, motion (interframe RANSAC+LM), tracker+BA =
     # windowed-step minus plain-step (derived below from fps).
     #
-    # Measurement shape matters on this rig: EVERY standalone jit call
-    # pays a ~1-2 ms remote-dispatch floor (measured r5: a (8,)-add
-    # costs 1.7 ms/call), which swamps sub-ms stages.  So each stage is
-    # timed as ONE dispatch of a lax.scan over n iterations whose carry
-    # perturbs the input by ~1e-30 (forcing serial, non-hoistable
-    # iterations); per-iteration time is then the on-chip stage cost.
+    # Measurement shape: the shared scan-amortized harness
+    # (`front_end_tpu/utils/stagetime.py` — one implementation for this
+    # file and profile_stages.py, so the dispatch-floor amortization and
+    # the all-leaves DCE tap cannot drift between them).
     from front_end_tpu.ops import grid as grid_mod
+    from front_end_tpu.utils import stagetime
 
     def _stage_ms(fn, *args, n=50):
-        args = jax.tree.map(jnp.asarray, args)
-
-        @jax.jit
-        def run(args):
-            def perturb(tree, carry):
-                # add carry*1e-30 to the FIRST float leaf (PRNG keys and
-                # masks stay untouched)
-                leaves, treedef = jax.tree.flatten(tree)
-                done = False
-                out = []
-                for lf in leaves:
-                    if not done and jnp.issubdtype(lf.dtype, jnp.floating):
-                        out.append(lf + carry * 1e-30)
-                        done = True
-                    else:
-                        out.append(lf)
-                return jax.tree.unflatten(treedef, out)
-
-            def body(carry, _):
-                o = fn(*perturb(args, carry))
-                # consume ONE element of EVERY output leaf — consuming
-                # only the first leaf lets XLA dead-code-eliminate the
-                # stages that don't feed it (measured: describe+match
-                # "cost" 0.005 ms until this fix)
-                tap = sum(jnp.ravel(lf)[0].astype(jnp.float32)
-                          for lf in jax.tree.leaves(o))
-                return carry + tap * 1e-30, None
-            c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return c
-
-        _sync(run(args))                     # compile + settle
-        t0 = time.perf_counter()
-        _sync(run(args))
-        return 1000.0 * (time.perf_counter() - t0) / n
+        return stagetime.stage_ms(fn, *args, n=n, sync=_sync)[0]
 
     st_detect = _stage_ms(
         lambda l, r, tl, tr: grid_mod.detect_pair(l, r, tl, tr, cfg.grid),

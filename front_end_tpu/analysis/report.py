@@ -370,8 +370,8 @@ def plot_recorded_run(record_path: str, out_dir: str) -> list[str]:
         _style(ax, title=f"Recorded pipeline counters — {plat}",
                xlabel="frame", ylabel="count")
         ax.legend(frameon=False, fontsize=7, labelcolor=INK)
-        paths.append(_save(fig, os.path.join(out_dir,
-                                             "recorded_counters.png")))
+        paths.append(_save(fig, os.path.join(
+            out_dir, f"recorded_{stem}_counters.png")))
     # non-count series (e.g. ba_rms_px) get their own axes — units differ
     others = [(k, v) for k, v in sorted(counters.items())
               if not k.startswith("n_")]

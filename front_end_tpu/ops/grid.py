@@ -285,10 +285,14 @@ def _select_from_pooled(pooled, code, counts, thresholds,
 
 def _use_fused_grid_kernel(cfg: GridConfig, *arrays) -> bool:
     """The fused detect+pool+count kernel needs the real TPU backend
-    (same policy as fast.detect_dense) and even kernel tiles (always
-    true for the 128x256 default)."""
+    (same policy as fast.detect_dense), even kernel tiles (always true
+    for the 128x256 default), and a grid that fits the kernel's static
+    per-tile count register (one (8, 128) VREG: Gr <= 8, Gc <= 128 —
+    `fast_kernel.fast_detect_grid_pallas` asserts this).  Oversized
+    grids fall back to the XLA map path instead of failing the trace."""
     from front_end_tpu.ops.fast import _is_batch_tracer
     return (jax.default_backend() == "tpu"
+            and cfg.grid_rows <= 8 and cfg.grid_cols <= 128
             and not any(_is_batch_tracer(jnp.asarray(a))
                         for a in arrays))
 

@@ -57,6 +57,16 @@ def _arc_margin(d, *, n, K):
     return best
 
 
+def _quick_margin(d, *, n):
+    """min over cv2's 8 quick-rejection pair tests (k, (k+8) mod n) of
+    the pair max — the shared FAST_t gate for 12/8-point circles."""
+    m = None
+    for k in range(8):
+        pair = jnp.maximum(d[k % n], d[(k + 8) % n])
+        m = pair if m is None else jnp.minimum(m, pair)
+    return m
+
+
 def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, tile_w, circle, K,
             H, W):
     b = pl.program_id(0)
@@ -86,13 +96,7 @@ def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, tile_w, circle, K,
     bright = [-d for d in dark]                              # c_i - p
     arc_margin = functools.partial(_arc_margin, n=n, K=K)
 
-    def quick_margin(d):
-        # min over cv2's 8 pair tests (k, (k+8) mod n) of the pair max
-        m = None
-        for k in range(8):
-            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
-            m = pair if m is None else jnp.minimum(m, pair)
-        return m
+    quick_margin = functools.partial(_quick_margin, n=n)
 
     run_d = arc_margin(dark)
     run_b = arc_margin(bright)
@@ -115,13 +119,11 @@ def _kernel(img_ref, out_ref, scratch, sem, *, tile_h, tile_w, circle, K,
     out_ref[0, 1, :, :] = jnp.where(interior, score, zero)
 
 
-def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
-                   tile_h, tile_w, circle, K, H, W, nms):
-    """Fused cv2-exact FAST: margins + threshold gate + sparse NMS, one
-    HBM round-trip.  Margins are computed over the FULL halo'd scratch
-    (compute is ~2% of the kernel's cost; fusing the NMS saves a whole
-    image read+write) and the NMS compares the thresholded sparse
-    responses, exactly like `fast.detect_dense`."""
+def _dma_tile_pair(img_ref, t_ref, scratch, tscr, sem, tsem, *, tile_h,
+                   tile_w):
+    """Start the image + threshold halo'd-tile DMAs; wait on the image
+    copy (the threshold copy is returned still in flight so margin
+    compute overlaps it)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -138,7 +140,19 @@ def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
         tscr, tsem)
     tcopy.start()
     copy.wait()
+    return tcopy
 
+
+def _nms_survivors(scratch, tscr, tcopy, *, tile_h, tile_w, circle, K,
+                   H, W, nms):
+    """The shared cv2-exactness-critical core of both fused kernels:
+    FAST margins over the FULL halo'd scratch, quick-rejection gates,
+    global-coordinate border mask, threshold gate, sparse 3x3 NMS.
+    Returns the surviving-score map in the halo'd tile frame — exactly
+    `fast.detect_dense` semantics (one implementation, so a margin or
+    NMS tie-rule fix cannot diverge between the kernels)."""
+    i = pl.program_id(1)
+    j = pl.program_id(2)
     h = tile_h + 2 * HALO_Y
     w = tile_w + 2 * HALO_X
     full = scratch[:, :]
@@ -152,12 +166,7 @@ def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
     bright = [-d for d in dark]
     arc_margin = functools.partial(_arc_margin, n=n, K=K)
 
-    def quick_margin(d):
-        m = None
-        for k in range(8):
-            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
-            m = pair if m is None else jnp.minimum(m, pair)
-        return m
+    quick_margin = functools.partial(_quick_margin, n=n)
 
     run_d = arc_margin(dark)
     run_b = arc_margin(bright)
@@ -187,6 +196,21 @@ def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
                 v = tap(s, dx, dy)
                 neigh = v if neigh is None else jnp.maximum(neigh, v)
         s = jnp.where(s > neigh, s, 0.0)
+    return s
+
+
+def _detect_kernel(img_ref, t_ref, out_ref, scratch, tscr, sem, tsem, *,
+                   tile_h, tile_w, circle, K, H, W, nms):
+    """Fused cv2-exact FAST: margins + threshold gate + sparse NMS, one
+    HBM round-trip.  Margins are computed over the FULL halo'd scratch
+    (compute is ~2% of the kernel's cost; fusing the NMS saves a whole
+    image read+write) and the NMS compares the thresholded sparse
+    responses, exactly like `fast.detect_dense`."""
+    tcopy = _dma_tile_pair(img_ref, t_ref, scratch, tscr, sem, tsem,
+                           tile_h=tile_h, tile_w=tile_w)
+    s = _nms_survivors(scratch, tscr, tcopy, tile_h=tile_h,
+                       tile_w=tile_w, circle=circle, K=K, H=H, W=W,
+                       nms=nms)
     out_ref[0, :, :] = s[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
 
 
@@ -251,70 +275,13 @@ def _detect_grid_kernel(img_ref, t_ref, pooled_ref, code_ref, cnt_ref,
     the counts come out exact, so the XLA side never has to traverse a
     (H, W) map again (measured r5: every such traversal costs ~0.6 ms
     at KITTI res — more than this whole kernel)."""
-    b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
-    copy = pltpu.make_async_copy(
-        img_ref.at[b,
-                   pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
-                   pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
-        scratch, sem)
-    copy.start()
-    tcopy = pltpu.make_async_copy(
-        t_ref.at[b,
-                 pl.ds(i * tile_h, tile_h + 2 * HALO_Y),
-                 pl.ds(j * tile_w, tile_w + 2 * HALO_X)],
-        tscr, tsem)
-    tcopy.start()
-    copy.wait()
-
-    h = tile_h + 2 * HALO_Y
-    w = tile_w + 2 * HALO_X
-    full = scratch[:, :]
-
-    def tap(src, dx, dy):
-        r = pltpu.roll(src, (-dy) % h, axis=0)
-        return pltpu.roll(r, (-dx) % w, axis=1)
-
-    n = len(circle)
-    dark = [full - tap(full, dx, dy) for (dx, dy) in circle]
-    bright = [-d for d in dark]
-    arc_margin = functools.partial(_arc_margin, n=n, K=K)
-
-    def quick_margin(d):
-        m = None
-        for k in range(8):
-            pair = jnp.maximum(d[k % n], d[(k + 8) % n])
-            m = pair if m is None else jnp.minimum(m, pair)
-        return m
-
-    run_d = arc_margin(dark)
-    run_b = arc_margin(bright)
-    score = jnp.maximum(run_d, run_b)
-    if n == 16:
-        detect = score
-    else:
-        detect = jnp.maximum(jnp.minimum(run_d, quick_margin(dark)),
-                             jnp.minimum(run_b, quick_margin(bright)))
-
-    ys = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-          + i * tile_h - HALO_Y)
-    xs = (jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-          + j * tile_w - HALO_X)
-    interior = ((ys >= 3) & (ys <= H - 4) & (xs >= 3) & (xs <= W - 4))
-
-    tcopy.wait()
-    corner = (detect > tscr[:, :]) & interior
-    s = jnp.where(corner, score, 0.0)
-    if nms:
-        neigh = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                v = tap(s, dx, dy)
-                neigh = v if neigh is None else jnp.maximum(neigh, v)
-        s = jnp.where(s > neigh, s, 0.0)
+    tcopy = _dma_tile_pair(img_ref, t_ref, scratch, tscr, sem, tsem,
+                           tile_h=tile_h, tile_w=tile_w)
+    s = _nms_survivors(scratch, tscr, tcopy, tile_h=tile_h,
+                       tile_w=tile_w, circle=circle, K=K, H=H, W=W,
+                       nms=nms)
     st = s[HALO_Y:HALO_Y + tile_h, HALO_X:HALO_X + tile_w]
 
     # ---- per-cell survivor counts (cropped to whole cells, like the

@@ -19,6 +19,7 @@ from front_end_tpu.ops import grid as grid_mod
 from front_end_tpu.ops import match as match_mod
 from front_end_tpu.pipeline import vo
 from front_end_tpu.types import Descriptors
+from front_end_tpu.utils import stagetime
 
 rig = kitti_rig()
 cfg = vo.VOConfig(
@@ -44,46 +45,13 @@ def _sync(out):
 
 
 def bench_fn(name, fn, *args, n=30):
-    """On-chip per-iteration time via ONE dispatch of a lax.scan.
-
-    A standalone jit call on this rig pays a ~1-2 ms remote-dispatch
-    floor (a (8,)-add measures 1.7 ms/call), which swamps sub-ms
-    stages; the scan's carry perturbs the first float input by ~1e-30
-    so iterations are serial and non-hoistable, and the floor amortizes
-    over n."""
+    """On-chip per-iteration time via the shared scan-amortized harness
+    (`front_end_tpu/utils/stagetime.py` — one implementation for this
+    file and bench.py's stage_ms, see its module doc for the dispatch-
+    floor and DCE-tap rationale)."""
     if ONLY and not any(name.startswith(p) for p in ONLY):
         return None
-    args = jax.tree.map(jnp.asarray, args)
-
-    @jax.jit
-    def run(args):
-        def perturb(tree, carry):
-            leaves, treedef = jax.tree.flatten(tree)
-            done, out = False, []
-            for lf in leaves:
-                if not done and jnp.issubdtype(lf.dtype, jnp.floating):
-                    out.append(lf + carry * 1e-30)
-                    done = True
-                else:
-                    out.append(lf)
-            return jax.tree.unflatten(treedef, out)
-
-        def body(carry, _):
-            o = fn(*perturb(args, carry))
-            # consume one element of EVERY leaf or XLA dead-code-
-            # eliminates the stages that don't feed the carry
-            tap = sum(jnp.ravel(lf)[0].astype(jnp.float32)
-                      for lf in jax.tree.leaves(o))
-            return carry + tap * 1e-30, None
-        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-        return c
-
-    tc = time.perf_counter()
-    _sync(run(args))
-    tc = time.perf_counter() - tc
-    t0 = time.perf_counter()
-    _sync(run(args))
-    dt = (time.perf_counter() - t0) / n * 1e3
+    dt, tc = stagetime.stage_ms(fn, *args, n=n, sync=_sync)
     print(f"{name:34s} {dt:7.3f} ms   (compile {tc:.1f}s)", flush=True)
     return jax.jit(fn)(*args)
 

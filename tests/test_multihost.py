@@ -57,36 +57,20 @@ def test_two_process_distributed_ba(tmp_path):
     z = np.load(out)
     assert np.isfinite(z["cost"]) and z["cost"] < z["cost0"]
 
-    # single-process reference on the identical problem
+    # single-process reference on the identical problem (shared builder
+    # `_multihost_problem.py` — one definition, so the parity assertion
+    # cannot silently compare two drifted configs)
     import jax
-    from front_end_tpu.ba import distributed
-    from front_end_tpu.geometry.camera import StereoRig
 
-    rig = StereoRig.create(fx=80.0, cx=79.5, cy=47.5, baseline=0.5,
-                           width=160, height=96)
-    W, L = 3, 512
-    rs = np.random.RandomState(0)
-    X0 = np.concatenate([rs.uniform(-4, 4, (L, 1)),
-                         rs.uniform(-2, 2, (L, 1)),
-                         rs.uniform(3, 10, (L, 1))], 1).astype(np.float32)
-    T = np.stack([np.eye(4, dtype=np.float32) for _ in range(W)])
-    for i in range(W):
-        T[i, 0, 3] = -0.1 * i
-    Xc = np.einsum("wij,lj->wli", T[:, :3, :3], X0) + T[:, None, :3, 3]
-    fx, cx, cy, B = 80.0, 79.5, 47.5, 0.5
-    ul = fx * Xc[..., 0] / Xc[..., 2] + cx
-    vl = fx * Xc[..., 1] / Xc[..., 2] + cy
-    ur = fx * (Xc[..., 0] - B) / Xc[..., 2] + cx
-    meas = np.stack([ul, vl, ur, vl], -1).swapaxes(0, 1).astype(np.float32)
-    vis = np.ones((L, W), bool)
-    meas = meas + 0.5 * rs.normal(size=meas.shape).astype(np.float32)
-    T0 = T.copy()
-    T0[1:, :3, 3] += 0.01 * rs.normal(size=(W - 1, 3)).astype(np.float32)
+    import _multihost_problem as prob
+    from front_end_tpu.ba import distributed
+
+    rig, T0, _T_gt, X0, meas, vis = prob.make_ba_problem()
 
     mesh1 = distributed.make_mesh(1)
-    ref = distributed.ba_solve_sharded(mesh1, T0, X0, meas,
-                                       vis.astype(np.float32), rig,
-                                       iters=6, huber_px=2.0)
+    ref = distributed.ba_solve_sharded(
+        mesh1, T0, X0, meas, vis.astype(np.float32), rig,
+        iters=prob.BA_ITERS, huber_px=prob.BA_HUBER_PX)
     assert np.allclose(z["poses"], np.array(ref.poses), atol=2e-2), (
         np.abs(z["poses"] - np.array(ref.poses)).max())
 
@@ -96,29 +80,14 @@ def test_two_process_distributed_ba(tmp_path):
     # SAME pipeline run single-process with an unsharded BA.
     assert z["ba_ran"].any(), z["ba_ran"]
     import jax.numpy as jnp
-    from __graft_entry__ import _make_sequence
-    from front_end_tpu.geometry.camera import StereoRig as SR
-    from front_end_tpu.ops import grid as grid_mod
-    from front_end_tpu.pipeline import vo as vo_mod
     from front_end_tpu.pipeline import window_vo
 
-    h, w = 96, 160
-    vrig = SR.create(fx=80.0, cx=(w - 1) / 2, cy=(h - 1) / 2,
-                     baseline=0.5, width=w, height=h)
-    vcfg = vo_mod.VOConfig(
-        grid=grid_mod.GridConfig(cell_capacity=32, set_point=150,
-                                 init_threshold=10.0),
-        desc_bytes=16, ransac_hyps=32, ransac_threshold=0.2,
-        max_disparity=20.0, min_track_inliers=4)
-    wcfg = window_vo.WindowVOConfig.create(
-        vcfg, window=3, ba_every=1, ba_iters=3, capacity=256,
-        ba_max_landmarks=128)
-    lefts, rights = _make_sequence(4, h, w)
+    vrig, wcfg, lefts, rights = prob.make_live_setup(ba_mesh=None)
     state = window_vo.init_state(vrig, wcfg)
     step = jax.jit(lambda s, l, r: window_vo.window_vo_step(
         s, l, r, vrig, wcfg))
     ref_traj = []
-    for t in range(4):
+    for t in range(prob.LIVE_FRAMES):
         state, outw = step(state, jnp.asarray(lefts[t]),
                            jnp.asarray(rights[t]))
         ref_traj.append(np.asarray(outw.frame.pose))

@@ -266,3 +266,28 @@ def test_fused_grid_kernel_all_circle_types(fast_type):
     np.testing.assert_array_equal(np.asarray(det_x.cell_counts),
                                   np.asarray(det_f.cell_counts))
     assert _kp_set(det_x) == _kp_set(det_f)
+
+
+def test_fused_gate_falls_back_on_oversized_grids(monkeypatch):
+    """Grids beyond the kernel's static count register (Gr > 8 or
+    Gc > 128) must route to the XLA path, not crash the trace — the
+    fused kernel packs per-cell counts into one (8, 128) VREG."""
+    from front_end_tpu.ops import grid as grid_mod
+    big_r = _grid_cfg(grid_rows=9, grid_cols=3, cell_capacity=16,
+                      set_point=100, init_threshold=10.0)
+    # the full detect() works on such a grid (XLA path, real backend)
+    img = jnp.asarray(_image(h=96, w=128, seed=4))
+    det = grid_mod.detect(img, big_r.init_thresholds(), big_r)
+    assert det.cell_counts.shape == (9, 3)
+
+    # with the backend forced to "tpu", the gate itself must exclude
+    # oversized grids so they keep routing to that XLA path
+    monkeypatch.setattr(grid_mod.jax, "default_backend", lambda: "tpu")
+    x = jnp.zeros((64, 128), jnp.float32)
+    ok = _grid_cfg(grid_rows=2, grid_cols=3, cell_capacity=16,
+                   set_point=100, init_threshold=10.0)
+    assert grid_mod._use_fused_grid_kernel(ok, x)
+    assert not grid_mod._use_fused_grid_kernel(big_r, x)
+    big_c = _grid_cfg(grid_rows=2, grid_cols=129, cell_capacity=16,
+                      set_point=100, init_threshold=10.0)
+    assert not grid_mod._use_fused_grid_kernel(big_c, x)

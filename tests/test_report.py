@@ -136,9 +136,14 @@ class TestReport:
             with_timings=False, records=recs)
         txt = open(path).read()
         assert "Platform comparison" in txt
-        # per-record figures must not collide (stem-prefixed names)
+        # per-record figures must not collide (stem-prefixed names) —
+        # including the counters chart: an unprefixed name made the
+        # second record silently overwrite the first's counters and the
+        # report embed the wrong platform's data under both sections
         assert os.path.exists(tmp_path / "rep" / "recorded_tpu_frame_time.png")
         assert os.path.exists(tmp_path / "rep" / "recorded_cpu_frame_time.png")
+        assert os.path.exists(tmp_path / "rep" / "recorded_tpu_counters.png")
+        assert os.path.exists(tmp_path / "rep" / "recorded_cpu_counters.png")
 
 
 class TestExplore:
