@@ -56,6 +56,11 @@ def bench_fn(name, fn, *args, n=30):
     return jax.jit(fn)(*args)
 
 
+# the harness's own per-iteration floor: a trivial op still measures
+# ~0.5 ms/iter on this rig — read every stage below NET of this line
+bench_fn("harness floor (trivial op)", lambda x: x + 1.0,
+         np.zeros(8, np.float32))
+
 # whole step
 bench_fn("vo_step (total)", lambda s, l, r: vo.vo_step(s, l, r, rig, cfg),
          state, L, R)

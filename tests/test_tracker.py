@@ -138,3 +138,39 @@ class TestTracker:
         for f in frames:
             st, _ = step(st, f)
         assert int(st.frame_idx) == 4
+
+
+class TestTopkOnehot:
+    """`dense_select.topk_onehot`: the sort-free exact top-k compaction
+    the windowed BA uses (`tracker.run_window_ba`)."""
+
+    def test_matches_sorted_reference(self):
+        import jax
+        from front_end_tpu.ops.dense_select import (compact_rows,
+                                                    topk_onehot)
+
+        rs = np.random.RandomState(7)
+        fn = jax.jit(topk_onehot, static_argnums=(1, 2))
+        for trial in range(25):
+            M = int(rs.randint(8, 300))
+            k = int(rs.randint(1, M + 1))
+            smax = int(rs.choice([5, 100, 39999]))
+            nvalid = int(rs.randint(0, M + 1))
+            score = np.zeros(M, np.float32)
+            idx = rs.choice(M, nvalid, replace=False)
+            score[idx] = rs.randint(1, smax + 1, nvalid)
+            oh, mask, n_sel = fn(score, k, smax)
+            oh, mask = np.asarray(oh), np.asarray(mask)
+            n_sel = int(n_sel)
+            # reference: top-k by (score desc, index asc), valid only —
+            # lax.top_k's own tie rule
+            order = sorted(range(M), key=lambda i: (-score[i], i))
+            exp = sorted(i for i in order[:k] if score[i] > 0)
+            got = sorted(np.nonzero(mask)[0].tolist())
+            assert got == exp, (trial, got, exp)
+            assert n_sel == len(exp)
+            # oh compacts in index order, zero-padded past n_sel
+            X = rs.rand(M, 3).astype(np.float32)
+            ck = np.asarray(compact_rows(jnp.asarray(oh), X))
+            assert np.array_equal(ck[:n_sel], X[exp])
+            assert np.all(ck[n_sel:] == 0)
